@@ -1,0 +1,93 @@
+"""LAM entry point — mirrors the reference's ``HHI/scripts/run_lam.py``
+flag surface (HHI/configs/lam/config.py) plus egot2x extensions:
+
+  --synthetic         run on a generated fixture tree (hermetic smoke)
+  --data_root PATH    unified dataset root (imgs/ json/ gt/ *.list)
+  --img_size N        face-crop resolution (224 default, smaller for smoke)
+
+Usage:
+  python -m egot2x.cli.run_lam --model BaselineLSTM --synthetic --fast_dev_run
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Ego4D Looking at me (egot2x)")
+    # dataset
+    p.add_argument("--data_root", type=str, default="../data/lam")
+    p.add_argument("--train_stride", type=int, default=13)
+    p.add_argument("--val_stride", type=int, default=13)
+    p.add_argument("--test_stride", type=int, default=1)
+    # training
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=10)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--weights", type=float, nargs=2, default=[0.136, 0.864])
+    p.add_argument("--fast_dev_run", action="store_true")
+    p.add_argument("--exp_path", type=str, default="debug")
+    p.add_argument("--output_dir", type=str, default="debug")
+    p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    # model
+    p.add_argument("--model", type=str, default="BaselineLSTM")
+    p.add_argument("--checkpoint", type=str, default=None)
+    # egot2x extensions
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate + use a tiny synthetic fixture dataset")
+    p.add_argument("--img_size", type=int, default=224)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    from egot2x.core.config import Config
+    from egot2x.tasks.lam import LookingAtMe
+    from egot2x.train.trainer import Trainer
+
+    if args.synthetic:
+        root = os.path.join(tempfile.gettempdir(), "egot2x_lam_fixture")
+        if not os.path.exists(os.path.join(root, "train.list")):
+            from egot2x.data.synthetic import make_lam_fixture
+
+            make_lam_fixture(root, img_size=max(args.img_size // 2, 16))
+        args.data_root = root
+        args.train_stride = args.val_stride = 1
+        args.batch_size = min(args.batch_size, 4)
+        args.img_size = min(args.img_size, 64)
+        args.num_workers = 2
+
+    cfg = Config(vars(args))
+    task = LookingAtMe(cfg)
+    trainer = Trainer(
+        task,
+        max_epochs=args.epochs,
+        fast_dev_run=args.fast_dev_run,
+        default_root_dir=os.path.join("logs", "lam", args.output_dir),
+        seed=args.seed,
+    )
+    if args.eval:
+        import jax
+
+        state = task.build_state(jax.random.key(args.seed))
+        if args.ckpt:
+            from egot2x.train.trainer import CheckpointManager
+
+            mgr = CheckpointManager(args.ckpt, task.checkpoint_metric)
+            state = mgr.restore(state)
+        metrics = trainer.validate(state)
+    else:
+        state = trainer.fit(state=None)
+        metrics = trainer.validate(state)
+    print({k: round(v, 4) for k, v in metrics.items()})
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Synthetic fixture generators matching the reference on-disk layouts.
+
+The reference ships no tests and no fixture data (SURVEY.md §4); these
+writers produce tiny but layout-faithful dataset trees
+(docs/PREPARE_HHI.md:9-35, docs/PREPARE_HOI.md:10-31 in the reference)
+so every pipeline can be exercised hermetically — unit tests, CLI
+``--synthetic`` smoke runs, and benchmarks all use them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def make_lam_fixture(
+    root: str,
+    n_videos: int = 2,
+    n_tracks: int = 2,
+    n_frames: int = 12,
+    img_size: int = 64,
+    seed: int = 0,
+) -> str:
+    """Write a miniature LAM tree: imgs/, json/, gt/, train.list, val.list."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    uids: List[str] = []
+    for v in range(n_videos):
+        uid = f"vid{v:03d}"
+        uids.append(uid)
+        img_dir = os.path.join(root, "imgs", uid)
+        json_dir = os.path.join(root, "json", uid)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(json_dir, exist_ok=True)
+        h = w = img_size * 2
+        for i in range(1, n_frames + 1):
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(img_dir, f"img_{i:05d}.jpg"), img)
+        for t in range(n_tracks):
+            pid = f"p{t}"
+            track = []
+            for i in range(1, n_frames + 1):
+                if i % 5 == 0 and t == 0:
+                    continue  # leave a gap to exercise bbox interpolation
+                track.append(
+                    {
+                        "frameNumber": i,
+                        "x": float(5 + t * 10 + rng.integers(0, 3)),
+                        "y": float(5 + rng.integers(0, 3)),
+                        "width": float(img_size // 2),
+                        "height": float(img_size // 2),
+                        "Person ID": pid,
+                    }
+                )
+            with open(os.path.join(json_dir, f"track{t}.json"), "w") as f:
+                json.dump(track, f)
+        os.makedirs(os.path.join(root, "gt"), exist_ok=True)
+        # one positive GT segment per video (track 0's person)
+        gts = [{"start_frame": 2, "end_frame": n_frames // 2, "label": "p0"}]
+        with open(os.path.join(root, "gt", uid + ".json"), "w") as f:
+            json.dump(gts, f)
+    split = max(1, n_videos // 2)
+    with open(os.path.join(root, "train.list"), "w") as f:
+        f.write("\n".join(uids[:split]) + "\n")
+    with open(os.path.join(root, "val.list"), "w") as f:
+        f.write("\n".join(uids[split:] or uids[:1]) + "\n")
+    return root
+
+
+def make_wave(n_samples: int, seed: int = 0) -> np.ndarray:
+    """Synthetic audio: a few random sinusoids + noise, float32 in [-1, 1]."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples) / 16000.0
+    wave = sum(
+        rng.uniform(0.05, 0.3) * np.sin(2 * np.pi * rng.uniform(80, 4000) * t)
+        for _ in range(4)
+    )
+    wave = wave + 0.01 * rng.standard_normal(n_samples)
+    return wave.astype(np.float32)

@@ -1,0 +1,52 @@
+"""Task protocol — the egot2x analogue of the reference's
+LightningModule task layer (SURVEY.md §1 Task layer).
+
+A Task owns: the model, its loss, train/eval step *functions* (pure,
+jit-compiled by the Trainer), dataloaders, and validation aggregation.
+Unlike Lightning's stateful modules, steps here are pure functions of
+(TrainState, batch, rng) so the Trainer can jit/shard/donate them.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+
+from egot2x.train.state import TrainState
+
+
+class Task:
+    # name of the metric used for checkpoint selection and whether
+    # higher is better (reference: task.checkpoint_metric + ckpt mode)
+    checkpoint_metric: str = "val_loss"
+    checkpoint_mode: str = "min"
+
+    def build_state(self, rng: jax.Array) -> TrainState:
+        raise NotImplementedError
+
+    def train_step(self, state: TrainState, batch: Dict[str, Any], rng: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """Pure function — jitted by the Trainer."""
+        raise NotImplementedError
+
+    def eval_step(self, state: TrainState, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Pure function returning device outputs for aggregation."""
+        raise NotImplementedError
+
+    def train_loader(self):
+        raise NotImplementedError
+
+    def val_loader(self):
+        raise NotImplementedError
+
+    # -- validation aggregation (host side) -------------------------------
+    def start_validation(self) -> Any:
+        """Create an aggregation context (reference PostProcessor)."""
+        return []
+
+    def accumulate(self, ctx: Any, outputs: Dict[str, Any], batch: Dict[str, Any]) -> None:
+        ctx.append((outputs, batch))
+
+    def finalize_validation(self, ctx: Any) -> Dict[str, float]:
+        raise NotImplementedError

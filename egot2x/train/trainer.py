@@ -1,0 +1,167 @@
+"""Trainer: jit/shard-compiled train & eval loops with checkpointing.
+
+Replaces PyTorch-Lightning's ``Trainer`` (constructed per script in the
+reference, e.g. HHI/scripts/run_lam.py:20-28) with a JAX-native loop:
+
+  * the task's pure ``train_step``/``eval_step`` are jit-compiled once
+    with donated state (params update in-place in HBM);
+  * batches are host numpy, device_put with batch-axis NamedSharding
+    over the mesh's ``data`` axis — XLA inserts the gradient
+    all-reduce (the NCCL DDP analogue) automatically;
+  * checkpointing via Orbax: top-k by the task's checkpoint metric plus
+    ``last`` (reference ModelCheckpoint save_top_k=3 + save_last);
+  * ``fast_dev_run`` runs 1 train batch + 1 val batch, mirroring the
+    reference's smoke-test surface (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from egot2x.core.mesh import batch_sharding, make_mesh
+from egot2x.tasks.base import Task
+from egot2x.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class CheckpointManager:
+    """Orbax-backed top-k + last checkpointing keyed on a metric."""
+
+    def __init__(self, directory: str, metric: str, mode: str = "max", top_k: int = 3):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.metric = metric
+        self.mode = mode
+        self.top_k = top_k
+        self._ckpt = ocp.StandardCheckpointer()
+        self._scores: Dict[int, float] = {}
+
+    def _tree(self, state):
+        return {
+            "step": state.step,
+            "params": state.params,
+            "frozen": state.frozen,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+
+    def save(self, state, epoch: int, metrics: Dict[str, float]) -> None:
+        score = float(metrics.get(self.metric, 0.0))
+        path = os.path.join(self.directory, f"epoch_{epoch}")
+        self._ckpt.save(path, self._tree(state), force=True)
+        self._scores[epoch] = score
+        with open(os.path.join(self.directory, f"epoch_{epoch}.metrics.json"), "w") as f:
+            json.dump(metrics, f)
+        # prune beyond top_k
+        reverse = self.mode == "max"
+        ranked = sorted(self._scores, key=lambda e: self._scores[e], reverse=reverse)
+        for stale in ranked[self.top_k:]:
+            del self._scores[stale]
+            stale_path = os.path.join(self.directory, f"epoch_{stale}")
+            import shutil
+
+            shutil.rmtree(stale_path, ignore_errors=True)
+        # 'last' pointer
+        with open(os.path.join(self.directory, "last.json"), "w") as f:
+            json.dump({"epoch": epoch, "metrics": metrics}, f)
+        self._ckpt.wait_until_finished()
+
+    def restore(self, state, epoch: Optional[int] = None):
+        if epoch is None:
+            with open(os.path.join(self.directory, "last.json")) as f:
+                epoch = json.load(f)["epoch"]
+        path = os.path.join(self.directory, f"epoch_{epoch}")
+        restored = self._ckpt.restore(path, self._tree(state))
+        return state.replace(**restored)
+
+
+class Trainer:
+    def __init__(
+        self,
+        task: Task,
+        max_epochs: int = 1,
+        fast_dev_run: bool = False,
+        default_root_dir: str = "logs",
+        mesh=None,
+        log_every: int = 10,
+        seed: int = 0,
+    ):
+        self.task = task
+        self.max_epochs = max_epochs
+        self.fast_dev_run = fast_dev_run
+        self.root = default_root_dir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.log_every = log_every
+        self.seed = seed
+        self._train_step = jax.jit(task.train_step, donate_argnums=0)
+        self._eval_step = jax.jit(task.eval_step)
+        self.ckpt: Optional[CheckpointManager] = None
+        self.metrics_history = []
+
+    @staticmethod
+    def _is_device_array(v) -> bool:
+        return isinstance(v, np.ndarray) and v.dtype.kind in "biufc"
+
+    def _device_batch(self, batch):
+        sh = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()
+                if self._is_device_array(v)}
+
+    def fit(self, state=None):
+        task = self.task
+        if state is None:
+            state = task.build_state(jax.random.key(self.seed))
+        os.makedirs(self.root, exist_ok=True)
+        self.ckpt = CheckpointManager(
+            os.path.join(self.root, "checkpoints"),
+            task.checkpoint_metric,
+            task.checkpoint_mode,
+        )
+        loader = task.train_loader()
+        epochs = 1 if self.fast_dev_run else self.max_epochs
+        rng = jax.random.key(self.seed + 1)
+        for epoch in range(epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            n_seen = 0
+            for i, batch in enumerate(loader):
+                rng, step_rng = jax.random.split(rng)
+                dev_batch = self._device_batch(batch)
+                state, metrics = self._train_step(state, dev_batch, step_rng)
+                n_seen += 1
+                if i % self.log_every == 0:
+                    loss = float(jax.device_get(metrics["loss"]))
+                    logger.info(f"epoch {epoch} step {i} loss {loss:.4f}")
+                if self.fast_dev_run:
+                    break
+            dt = time.time() - t0
+            logger.info(f"epoch {epoch} done: {n_seen} steps in {dt:.1f}s")
+            val_metrics = self.validate(state)
+            self.metrics_history.append({"epoch": epoch, **val_metrics})
+            if not self.fast_dev_run:
+                self.ckpt.save(state, epoch, val_metrics)
+        return state
+
+    def validate(self, state) -> Dict[str, float]:
+        task = self.task
+        ctx = task.start_validation()
+        loader = task.val_loader()
+        for i, batch in enumerate(loader):
+            dev_batch = self._device_batch(batch)
+            outputs = self._eval_step(state, dev_batch)
+            outputs = jax.device_get(outputs)
+            task.accumulate(ctx, outputs, batch)
+            if self.fast_dev_run:
+                break
+        metrics = task.finalize_validation(ctx)
+        logger.info("validation: " + ", ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+        return metrics
