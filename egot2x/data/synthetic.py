@@ -75,6 +75,73 @@ def make_lam_fixture(
     return root
 
 
+def make_ttm_fixture(
+    root: str,
+    n_videos: int = 2,
+    n_segments: int = 6,
+    img_size: int = 64,
+    sample_rate: int = 16000,
+    seed: int = 0,
+) -> str:
+    """Miniature TTM tree: imgs/, json/, gt/, wave/, train.list, val.list.
+
+    GT segments use the reference convention: positive segments carry a
+    'tags' key (HHI/dataset/ttm/data_loader.py:133-147). Lengths are
+    drawn to span several buckets incl. one >150-frame split case.
+    """
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(seed)
+    uids = []
+    for v in range(n_videos):
+        uid = f"tvid{v:03d}"
+        uids.append(uid)
+        img_dir = os.path.join(root, "imgs", uid)
+        json_dir = os.path.join(root, "json", uid)
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(json_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "gt"), exist_ok=True)
+        os.makedirs(os.path.join(root, "wave"), exist_ok=True)
+        # segment lengths spanning buckets; one long segment to exercise
+        # the >150-frame chunking path
+        seg_lens = [18, 40, 70, 100, 160, 25][:n_segments]
+        total_frames = sum(seg_lens) + 10
+        h = w = img_size * 2
+        for i in range(1, total_frames + 1):
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(img_dir, f"img_{i:05d}.jpg"), img)
+        track = [
+            {
+                "frameNumber": i,
+                "x": 4.0, "y": 4.0,
+                "width": float(img_size), "height": float(img_size),
+                "Person ID": "1",
+            }
+            for i in range(1, total_frames + 1)
+        ]
+        with open(os.path.join(json_dir, "track0.json"), "w") as f:
+            json.dump(track, f)
+        gts = []
+        start = 1
+        for s, ln in enumerate(seg_lens):
+            seg = {"label": "1", "start_frame": start, "end_frame": start + ln - 1}
+            if s % 2 == 0:
+                seg["tags"] = ["person_x"]
+            gts.append(seg)
+            start += ln
+        with open(os.path.join(root, "gt", uid + ".json"), "w") as f:
+            json.dump(gts, f)
+        wave = make_wave(int(total_frames / 30.0 * sample_rate) + sample_rate, seed=seed + v)
+        wavfile.write(os.path.join(root, "wave", uid + ".wav"), sample_rate,
+                      (wave * 32767).astype(np.int16))
+    split = max(1, n_videos // 2)
+    with open(os.path.join(root, "train.list"), "w") as f:
+        f.write("\n".join(uids[:split]) + "\n")
+    with open(os.path.join(root, "val.list"), "w") as f:
+        f.write("\n".join(uids[split:] or uids[:1]) + "\n")
+    return root
+
+
 def make_wave(n_samples: int, seed: int = 0) -> np.ndarray:
     """Synthetic audio: a few random sinusoids + noise, float32 in [-1, 1]."""
     rng = np.random.default_rng(seed)
