@@ -72,6 +72,45 @@ def _lifter_coeffs(numcep: int, ceplifter: int) -> np.ndarray:
     return (1.0 + (ceplifter / 2.0) * np.sin(np.pi * n / ceplifter)).astype(np.float32)
 
 
+def mfcc_np(
+    signal: "np.ndarray",
+    samplerate: int = 16000,
+    winlen: float = 0.025,
+    winstep: float = 0.01,
+    numcep: int = 13,
+    nfilt: int = 26,
+    nfft: int = 512,
+    ceplifter: int = 22,
+    num_frames: int | None = None,
+) -> "np.ndarray":
+    """Host-side numpy twin of :func:`mfcc` for data loaders (the ASD
+    pipeline computes MFCCs per variable-fps track on the host, matching
+    the reference's python_speech_features call at
+    HHI/dataset/asd/dataLoader.py:69)."""
+    signal = np.asarray(signal, dtype=np.float64)
+    frame_len = _round_half_up(winlen * samplerate)
+    frame_step = _round_half_up(winstep * samplerate)
+    emph = np.concatenate([signal[:1], signal[1:] - 0.97 * signal[:-1]])
+    n = len(emph)
+    psf_frames = 1 if n <= frame_len else 1 + int(math.ceil((n - frame_len) / frame_step))
+    out_frames = num_frames if num_frames is not None else psf_frames
+    padlen = (out_frames - 1) * frame_step + frame_len
+    if padlen > n:
+        emph = np.concatenate([emph, np.zeros(padlen - n)])
+    idx = np.arange(out_frames)[:, None] * frame_step + np.arange(frame_len)[None, :]
+    frames = emph[idx]
+    pspec = np.abs(np.fft.rfft(frames, nfft)) ** 2 / nfft
+    energy = pspec.sum(axis=1)
+    energy = np.where(energy == 0, np.finfo(np.float32).eps, energy)
+    fb = _psf_filterbank(nfilt, nfft, samplerate, 0.0, samplerate / 2.0).astype(np.float64)
+    feat = pspec @ fb.T
+    feat = np.log(np.where(feat == 0, np.finfo(np.float32).eps, feat))
+    feat = feat @ _dct2_ortho_matrix(nfilt, numcep).astype(np.float64)
+    feat = feat * _lifter_coeffs(numcep, ceplifter).astype(np.float64)
+    feat[:, 0] = np.log(energy)
+    return feat.astype(np.float32)
+
+
 def mfcc(
     signal: jax.Array,  # (..., samples)
     samplerate: int = 16000,

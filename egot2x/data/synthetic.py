@@ -142,6 +142,68 @@ def make_ttm_fixture(
     return root
 
 
+def make_asd_fixture(
+    root: str,
+    n_videos: int = 2,
+    n_tracks: int = 3,
+    img_size: int = 64,
+    sample_rate: int = 16000,
+    seed: int = 0,
+) -> str:
+    """Miniature ASD tree: csv/, bbox/, wave/, imgs/ (TalkNet layout).
+
+    trackids are uid-prefixed 36+ char strings as in the reference
+    (trackid[:36] == video uid, HHI/dataset/asd/dataLoader.py:29)."""
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "csv"), exist_ok=True)
+    os.makedirs(os.path.join(root, "bbox"), exist_ok=True)
+    os.makedirs(os.path.join(root, "wave"), exist_ok=True)
+    rows_train, rows_val = [], []
+    for v in range(n_videos):
+        uid = f"avid{v:03d}".ljust(36, "x")  # 36-char video uid
+        img_dir = os.path.join(root, "imgs", uid)
+        os.makedirs(img_dir, exist_ok=True)
+        track_lens = [20, 35, 70][:n_tracks]
+        total_frames = sum(track_lens) + 10
+        h = w = img_size * 2
+        for i in range(1, total_frames + 1):
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(img_dir, f"img_{i:05d}.jpg"), img)
+        fps = 30.0
+        wave = make_wave(int(total_frames / fps * sample_rate) + sample_rate,
+                         seed=seed + v)
+        wavfile.write(os.path.join(root, "wave", uid + ".wav"), sample_rate,
+                      (wave * 32767).astype(np.int16))
+        start = 1
+        for t, ln in enumerate(track_lens):
+            trackid = f"{uid}:track{t}"
+            bbox = [
+                {
+                    "frame": i,
+                    "x": 8.0 + rng.integers(0, 3),
+                    "y": 8.0 + rng.integers(0, 3),
+                    "width": float(img_size),
+                    "height": float(img_size),
+                }
+                for i in range(start, start + ln)
+            ]
+            with open(os.path.join(root, "bbox", trackid + ".json"), "w") as f:
+                json.dump(bbox, f)
+            labels = rng.integers(0, 2, ln).tolist()
+            row = "\t".join([
+                trackid, str(ln), str(fps), str(labels), "extra", str(start)
+            ])
+            (rows_train if v < max(1, n_videos // 2) else rows_val).append(row)
+            start += ln
+    with open(os.path.join(root, "csv", "active_speaker_train.csv"), "w") as f:
+        f.write("\n".join(rows_train) + "\n")
+    with open(os.path.join(root, "csv", "active_speaker_val.csv"), "w") as f:
+        f.write("\n".join(rows_val or rows_train) + "\n")
+    return root
+
+
 def make_wave(n_samples: int, seed: int = 0) -> np.ndarray:
     """Synthetic audio: a few random sinusoids + noise, float32 in [-1, 1]."""
     rng = np.random.default_rng(seed)

@@ -1,0 +1,280 @@
+"""TalkNet audio-visual active-speaker model.
+
+Behavioral reference: HHI/models/asd/ — ``talkNetModel``
+(talkNetModel.py:16-73), ``visualFrontend``/``visualTCN``/
+``visualConv1D``/``GlobalLayerNorm`` (visualEncoder.py:17-178),
+``audioEncoder`` SE-ResNet (audioEncoder.py:11-114), ``attentionLayer``
+(attentionLayer.py:12-42).
+
+Pipeline: grayscale 112×112 lip crops → Conv3D(5,7,7) stem + AVSR-style
+ResNet-18 → 512/frame → depthwise-separable TCN → 128/frame; MFCC
+(B, 4T, 13) → SE-ResNet (time ↓4×) → 128/frame; A↔V cross-attention
+(d=128, 8 heads) → concat → AV self-attention (d=256).
+
+Deviation from the reference, by design: the reference reshapes the
+whole batch into one depth axis before the 3D stem
+(talkNetModel.py:39-41 + visualEncoder.py:126-136), so its temporal
+conv leaks across sample boundaries within a batch. Here the stem runs
+per sample (B, T, H, W, 1) with same-padding — no cross-sample leakage,
+and XLA batches it on the MXU.
+
+BN in this stack uses the AVSR settings momentum 0.01 / eps 1e-3
+(visualEncoder.py:30).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from egot2x.nn.common import MultiHeadAttention
+
+Dtype = Any
+
+
+def _bn(train: bool, dtype, name: str, momentum: float = 0.99, eps: float = 1e-3):
+    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                        epsilon=eps, dtype=dtype, name=name)
+
+
+class AVSRResNetLayer(nn.Module):
+    """Two-block residual layer (visualEncoder.py:17-59)."""
+
+    filters: int
+    stride: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        conv = lambda f, s, name: nn.Conv(f, (3, 3), strides=(s, s),
+                                          padding=[(1, 1), (1, 1)],
+                                          use_bias=False, dtype=self.dtype, name=name)
+        y = nn.relu(_bn(train, self.dtype, "bn1a")(conv(self.filters, self.stride, "conv1a")(x)))
+        y = conv(self.filters, 1, "conv2a")(y)
+        if self.stride == 1:
+            residual = x
+        else:
+            residual = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, name="downsample")(x)
+        y = y + residual
+        intermediate = y
+        y = nn.relu(_bn(train, self.dtype, "outbna")(y))
+        z = nn.relu(_bn(train, self.dtype, "bn1b")(conv(self.filters, 1, "conv1b")(y)))
+        z = conv(self.filters, 1, "conv2b")(z)
+        z = z + intermediate
+        return nn.relu(_bn(train, self.dtype, "outbnb")(z))
+
+
+class VisualFrontend(nn.Module):
+    """(B, T, 112, 112) gray in [0, 255] → (B, T, 512)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b, t, h, w = x.shape
+        # TalkNet input normalization (talkNetModel.py:41)
+        x = (x / 255.0 - 0.4161) / 0.1688
+        x = x[..., None].astype(self.dtype)  # (B, T, H, W, 1) NTHWC
+        y = nn.Conv(64, (5, 7, 7), strides=(1, 2, 2),
+                    padding=[(2, 2), (3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype, name="frontend3d_conv")(x)
+        y = _bn(train, self.dtype, "frontend3d_bn")(y)
+        y = nn.relu(y)
+        # MaxPool3d (1,3,3)/(1,2,2): spatial-only, fold T into batch
+        bt = b * t
+        y = y.reshape(bt, *y.shape[2:])
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for i, (f, s) in enumerate([(64, 1), (128, 2), (256, 2), (512, 2)]):
+            y = AVSRResNetLayer(f, s, dtype=self.dtype, name=f"layer{i + 1}")(y, train=train)
+        # AvgPool2d(4,4) stride 1 on a 4x4 map == global mean
+        y = jnp.mean(y, axis=(1, 2))
+        return y.reshape(b, t, 512)
+
+
+class GlobalLayerNorm(nn.Module):
+    """gLN over (T, C) jointly with per-channel affine (visualEncoder.py:91-106)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, C)
+        gamma = self.param("gamma", nn.initializers.ones, (self.channels,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.channels,), jnp.float32)
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+        return gamma * (x - mean) / jnp.sqrt(var + 1e-8) + beta
+
+
+class DSConv1d(nn.Module):
+    """Residual depthwise-separable temporal conv block (visualEncoder.py:139-153)."""
+
+    channels: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:  # (B, T, C)
+        y = nn.relu(x)
+        y = _bn(train, self.dtype, "bn", momentum=0.9, eps=1e-5)(y)
+        y = nn.Conv(self.channels, (3,), padding=[(1, 1)], use_bias=False,
+                    feature_group_count=self.channels, dtype=self.dtype,
+                    name="depthwise")(y)
+        alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), (1,), jnp.float32)
+        y = jnp.where(y >= 0, y, alpha * y)
+        y = GlobalLayerNorm(self.channels, dtype=self.dtype, name="gln")(y)
+        y = nn.Conv(self.channels, (1,), use_bias=False, dtype=self.dtype,
+                    name="pointwise")(y)
+        return y + x
+
+
+class VisualTCN(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(5):
+            x = DSConv1d(512, dtype=self.dtype, name=f"block{i}")(x, train=train)
+        return x
+
+
+class VisualConv1D(nn.Module):
+    """512 → 128 temporal conv head (visualEncoder.py:168-178)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = nn.Conv(256, (5,), padding=[(2, 2)], dtype=self.dtype, name="conv5")(x)
+        y = _bn(train, self.dtype, "bn", momentum=0.9, eps=1e-5)(y)
+        y = nn.relu(y)
+        return nn.Conv(128, (1,), dtype=self.dtype, name="conv1")(y)
+
+
+class AudioSEBlock(nn.Module):
+    filters: int
+    stride: tuple = (1, 1)
+    reduction: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = lambda name: _bn(train, self.dtype, name, momentum=0.9, eps=1e-5)
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), strides=self.stride, padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(y)
+        y = bn("bn1")(y)
+        y = nn.Conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = bn("bn2")(y)
+        # SE
+        se = jnp.mean(y, axis=(1, 2))
+        se = nn.relu(nn.Dense(self.filters // self.reduction, dtype=self.dtype, name="se_fc0")(se))
+        se = jax.nn.sigmoid(nn.Dense(self.filters, dtype=self.dtype, name="se_fc1")(se))
+        y = y * se[:, None, None, :]
+        if self.stride != (1, 1) or x.shape[-1] != self.filters:
+            residual = nn.Conv(self.filters, (1, 1), strides=self.stride, use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class AudioEncoder(nn.Module):
+    """(B, 4T, 13) MFCC → (B, T, 128) (audioEncoder.py:60-114).
+
+    Input layout: reference feeds (B, 1, 13, 4T) NCHW with freq as H; in
+    NHWC we use (B, 13, 4T, 1) — stem stride (2,1) over (freq, time),
+    stages 2/3 stride (2,2) give the ÷4 temporal rate; mean over freq.
+    """
+
+    layers: tuple = (3, 4, 6, 3)
+    num_filters: tuple = (16, 32, 64, 128)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mfcc: jax.Array, train: bool = False) -> jax.Array:
+        x = jnp.swapaxes(mfcc, 1, 2)[..., None].astype(self.dtype)  # (B, 13, 4T, 1)
+        x = nn.Conv(self.num_filters[0], (7, 7), strides=(2, 1), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = _bn(train, self.dtype, "bn1", momentum=0.9, eps=1e-5)(x)
+        x = nn.relu(x)
+        strides = [(1, 1), (2, 2), (2, 2), (1, 1)]
+        for li, (f, n, s) in enumerate(zip(self.num_filters, self.layers, strides)):
+            for b in range(n):
+                x = AudioSEBlock(f, s if b == 0 else (1, 1), dtype=self.dtype,
+                                 name=f"layer{li + 1}_{b}")(x, train=train)
+        x = jnp.mean(x, axis=1)  # mean over freq → (B, T, C)
+        return x
+
+
+class CrossAttentionLayer(nn.Module):
+    """Post-LN block: MHA(tar, src, src) + FFN(4×) (attentionLayer.py:12-42)."""
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src: jax.Array, tar: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        attn = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
+                                  name="self_attn")(tar, src, src)
+        x = tar + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.Dense(self.d_model * 4, dtype=self.dtype, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+
+
+class TalkNetModel(nn.Module):
+    """Full TalkNet backbone. Returns per-frame features:
+    outsAV (B, T, 256), outsA (B, T, 128), outsV (B, T, 128)."""
+
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.visual_frontend = VisualFrontend(dtype=self.dtype)
+        self.visual_tcn = VisualTCN(dtype=self.dtype)
+        self.visual_conv1d = VisualConv1D(dtype=self.dtype)
+        self.audio_encoder = AudioEncoder(dtype=self.dtype)
+        self.cross_a2v = CrossAttentionLayer(128, 8, dtype=self.dtype)
+        self.cross_v2a = CrossAttentionLayer(128, 8, dtype=self.dtype)
+        self.self_av = CrossAttentionLayer(256, 8, dtype=self.dtype)
+
+    def forward_visual_frontend(self, faces, train=False, deterministic=True):
+        x = self.visual_frontend(faces, train=train)
+        x = self.visual_tcn(x, train=train)
+        return self.visual_conv1d(x, train=train)
+
+    def forward_audio_frontend(self, mfcc, train=False):
+        return self.audio_encoder(mfcc, train=train)
+
+    def forward_cross_attention(self, audio_embed, visual_embed, deterministic=True):
+        a_c = self.cross_a2v(src=audio_embed, tar=visual_embed, deterministic=deterministic)
+        v_c = self.cross_v2a(src=visual_embed, tar=audio_embed, deterministic=deterministic)
+        # reference: crossA2V(src=x1=audio, tar=x2=visual) returns the
+        # *audio-attended* stream aligned to x1_c naming (talkNetModel.py:55-58)
+        return a_c, v_c
+
+    def __call__(self, mfcc, faces, train=False, deterministic=True):
+        audio_embed = self.forward_audio_frontend(mfcc, train=train)
+        visual_embed = self.forward_visual_frontend(faces, train=train,
+                                                    deterministic=deterministic)
+        # align time lengths (audio T = 4T//4 may differ by 1 from video T)
+        t = min(audio_embed.shape[1], visual_embed.shape[1])
+        audio_embed = audio_embed[:, :t]
+        visual_embed = visual_embed[:, :t]
+        x1, x2 = self.forward_cross_attention(audio_embed, visual_embed,
+                                              deterministic=deterministic)
+        outs_av = self.self_av(src=jnp.concatenate([x1, x2], axis=2),
+                               tar=jnp.concatenate([x1, x2], axis=2),
+                               deterministic=deterministic)
+        return outs_av, x1, x2
