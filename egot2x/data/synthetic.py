@@ -204,6 +204,47 @@ def make_asd_fixture(
     return root
 
 
+def make_pnr_fixture(
+    root: str,
+    n_clips: int = 6,
+    img_size: int = 64,
+    seed: int = 0,
+) -> str:
+    """Miniature PNR tree: {train,val}.json + positive/negative jpeg
+    caches (reference layout, HOI/dataset/pnr docs/PREPARE_HOI.md)."""
+    rng = np.random.default_rng(seed)
+    clips_train, clips_val = [], []
+    os.makedirs(root, exist_ok=True)
+    for c in range(n_clips):
+        uid = f"pclip{c:03d}"
+        state_change = c % 2 == 0
+        start_frame = 100
+        clip_len_s = 9.0
+        end_frame = start_frame + int(clip_len_s * 30)
+        pnr = start_frame + int(clip_len_s * 30 * rng.uniform(0.3, 0.7)) if state_change else None
+        info = {
+            "unique_id": uid,
+            "video_uid": f"pvid{c:03d}",
+            "clip_start_sec": start_frame / 30.0,
+            "clip_end_sec": end_frame / 30.0,
+            "clip_start_frame": start_frame,
+            "clip_end_frame": end_frame,
+            "pnr_frame": pnr,
+            "state_change": state_change,
+        }
+        (clips_train if c < max(2, n_clips - 2) else clips_val).append(info)
+        out_dir = os.path.join(root, "positive" if state_change else "negative", uid)
+        os.makedirs(out_dir, exist_ok=True)
+        for fn in range(start_frame, end_frame + 1):
+            img = rng.integers(0, 255, (img_size, img_size, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(out_dir, f"{fn}.jpeg"), img)
+    with open(os.path.join(root, "train.json"), "w") as f:
+        json.dump({"clips": clips_train}, f)
+    with open(os.path.join(root, "val.json"), "w") as f:
+        json.dump({"clips": clips_val or clips_train}, f)
+    return root
+
+
 def make_wave(n_samples: int, seed: int = 0) -> np.ndarray:
     """Synthetic audio: a few random sinusoids + noise, float32 in [-1, 1]."""
     rng = np.random.default_rng(seed)

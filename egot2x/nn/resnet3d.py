@@ -1,0 +1,247 @@
+"""PySlowFast-style 3D ResNet (single pathway) in NTHWC.
+
+Behavioral reference: HOI/models/pnr/video_model_builder.py:18-299 —
+temporal-kernel tables per ARCH (c2d / i3d / slow / slow_layer3-5,
+:22-88), bottleneck transform stages (resnet_helper.py), stem with
+spatial maxpool (stem_helper.py), and the PNR heads
+(head_helper.py:293-381).
+
+Shape walk for the reference ts_pnr config (CROP_SIZE 225, slow_layer5):
+225 → stem conv /2 → 113 → stem maxpool /2 → 57 → s3 /2 → 29 → s4 /2 →
+15 → s5 /2 → 8; keyframe head avg-pools (1,7,7) stride 1 → 2×2 spatial,
+flattened with 2048 channels to the reference's 8192-d per-frame tokens.
+
+TPU notes: NTHWC keeps channels in the lane dimension for the MXU; all
+convs are static-shape; bf16-friendly via the dtype arg.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+MODEL_STAGE_DEPTH = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+# conv1 + res2..res5 temporal kernels per architecture
+# (reference video_model_builder.py:22-88)
+TEMPORAL_KERNEL_BASIS = {
+    "c2d": [[1], [1], [1], [1], [1]],
+    "c2d_nopool": [[1], [1], [1], [1], [1]],
+    "i3d": [[5], [3], [3, 1], [3, 1], [1, 3]],
+    "i3d_nopool": [[5], [3], [3, 1], [3, 1], [1, 3]],
+    "slow": [[1], [1], [1], [3], [3]],
+    "slow_layer3": [[1], [1], [3], [3], [3]],
+    "slow_layer4": [[1], [3], [3], [3], [3]],
+    "slow_layer5": [[3], [3], [3], [3], [3]],
+}
+
+# post-res2 temporal pool per architecture (reference _POOL1)
+POOL1 = {
+    "c2d": (2, 1, 1),
+    "c2d_nopool": (1, 1, 1),
+    "i3d": (2, 1, 1),
+    "i3d_nopool": (1, 1, 1),
+    "slow": (1, 1, 1),
+    "slow_layer3": (1, 1, 1),
+    "slow_layer4": (1, 1, 1),
+    "slow_layer5": (1, 1, 1),
+}
+
+
+def _bn(train, dtype, name):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype, name=name)
+
+
+class BottleneckTransform(nn.Module):
+    """Tx1x1 → 1x3x3(stride) → 1x1x1 bottleneck (resnet_helper.py)."""
+
+    dim_out: int
+    dim_inner: int
+    temp_kernel: int
+    stride: int
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t = self.temp_kernel
+        y = nn.Conv(self.dim_inner, (t, 1, 1),
+                    padding=[(t // 2, t // 2), (0, 0), (0, 0)],
+                    use_bias=False, dtype=self.dtype, name="a")(x)
+        y = nn.relu(_bn(train, self.dtype, "a_bn")(y))
+        d = self.dilation
+        y = nn.Conv(self.dim_inner, (1, 3, 3),
+                    strides=(1, self.stride, self.stride),
+                    padding=[(0, 0), (d, d), (d, d)],
+                    kernel_dilation=(1, d, d),
+                    use_bias=False, dtype=self.dtype, name="b")(y)
+        y = nn.relu(_bn(train, self.dtype, "b_bn")(y))
+        y = nn.Conv(self.dim_out, (1, 1, 1), use_bias=False, dtype=self.dtype,
+                    name="c")(y)
+        # final BN zero-init gamma is the reference ZERO_INIT_FINAL_BN
+        return _bn(train, self.dtype, "c_bn")(y)
+
+
+class ResBlock(nn.Module):
+    dim_out: int
+    dim_inner: int
+    temp_kernel: int
+    stride: int
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        if x.shape[-1] != self.dim_out or self.stride > 1:
+            shortcut = nn.Conv(self.dim_out, (1, 1, 1),
+                               strides=(1, self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="branch1")(x)
+            shortcut = _bn(train, self.dtype, "branch1_bn")(shortcut)
+        y = BottleneckTransform(self.dim_out, self.dim_inner, self.temp_kernel,
+                                self.stride, self.dilation, dtype=self.dtype,
+                                name="branch2")(x, train=train)
+        return nn.relu(shortcut + y)
+
+
+class ResStage(nn.Module):
+    dim_out: int
+    dim_inner: int
+    num_blocks: int
+    temp_kernel_sizes: Sequence[int]
+    num_block_temp_kernel: int
+    stride: int
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # temporal kernel pattern: cycle temp_kernel_sizes over the first
+        # num_block_temp_kernel blocks, 1 elsewhere (resnet_helper semantics)
+        pattern = (list(self.temp_kernel_sizes)
+                   * ((self.num_blocks // len(self.temp_kernel_sizes)) + 1))
+        for i in range(self.num_blocks):
+            tk = pattern[i] if i < self.num_block_temp_kernel else 1
+            x = ResBlock(self.dim_out, self.dim_inner, tk,
+                         self.stride if i == 0 else 1, self.dilation,
+                         dtype=self.dtype, name=f"block{i}")(x, train=train)
+        return x
+
+
+class VideoStem(nn.Module):
+    """Conv(t,7,7)/(1,2,2) + BN + relu + maxpool(1,3,3)/(1,2,2)."""
+
+    width: int
+    temp_kernel: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t = self.temp_kernel
+        y = nn.Conv(self.width, (t, 7, 7), strides=(1, 2, 2),
+                    padding=[(t // 2, t // 2), (3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        y = nn.relu(_bn(train, self.dtype, "bn")(y))
+        b, tt = y.shape[0], y.shape[1]
+        y = y.reshape(b * tt, *y.shape[2:])
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        return y.reshape(b, tt, *y.shape[1:])
+
+
+class ResNet3D(nn.Module):
+    """Single-pathway trunk: (B, T, H, W, C) → (B, T', H', W', 2048)."""
+
+    arch: str = "slow_layer5"
+    depth: int = 50
+    num_groups: int = 1
+    width_per_group: int = 64
+    spatial_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
+    num_block_temp_kernel: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d2, d3, d4, d5 = MODEL_STAGE_DEPTH[self.depth]
+        w = self.width_per_group
+        dim_inner = self.num_groups * w
+        tk = TEMPORAL_KERNEL_BASIS[self.arch]
+        y = VideoStem(w, tk[0][0], dtype=self.dtype, name="s1")(x, train=train)
+        y = ResStage(w * 4, dim_inner, d2, tk[1], self.num_block_temp_kernel[0],
+                     self.spatial_strides[0], dtype=self.dtype, name="s2")(y, train=train)
+        pt = POOL1[self.arch][0]
+        if pt > 1:  # temporal pool after res2 (c2d/i3d)
+            b = y.shape[0]
+            y = nn.max_pool(y, (pt, 1, 1), strides=(pt, 1, 1))
+        y = ResStage(w * 8, dim_inner * 2, d3, tk[2], self.num_block_temp_kernel[1],
+                     self.spatial_strides[1], dtype=self.dtype, name="s3")(y, train=train)
+        y = ResStage(w * 16, dim_inner * 4, d4, tk[3], self.num_block_temp_kernel[2],
+                     self.spatial_strides[2], dtype=self.dtype, name="s4")(y, train=train)
+        y = ResStage(w * 32, dim_inner * 8, d5, tk[4], self.num_block_temp_kernel[3],
+                     self.spatial_strides[3], dtype=self.dtype, name="s5")(y, train=train)
+        return y
+
+
+class KeyframeLocalizationHead(nn.Module):
+    """Per-frame head (head_helper.py:293-381).
+
+    AvgPool(1, k, k) stride 1 → flatten (C·H'·W') per frame → dropout →
+    Linear → act at eval. Returns (B, T, num_classes); ``middle=True``
+    returns the flattened per-frame tokens (B, T, C·H'·W') — the 8192-d
+    translator tokens in the reference config.
+    """
+
+    num_classes: int
+    spatial_pool: int  # CROP_SIZE // 32 // pool1_spatial
+    temporal_pool: int = 1
+    dropout_rate: float = 0.0
+    act: str = "none"  # none | softmax (applied at eval only)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, middle: bool = False):
+        b, t, h, w, c = x.shape
+        k, tp = self.spatial_pool, self.temporal_pool
+        # AvgPool3d((tp, k, k), stride=1)
+        x = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            window_dimensions=(1, tp, k, k, 1),
+            window_strides=(1, 1, 1, 1, 1),
+            padding="VALID",
+        ) / float(tp * k * k)
+        bt, tt, hh, ww, cc = x.shape
+        # torch flatten is channel-major (C, H, W) per frame
+        x = jnp.transpose(x, (0, 1, 4, 2, 3)).reshape(b, tt, cc * hh * ww)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+        if middle:
+            return x
+        x = nn.Dense(self.num_classes, dtype=self.dtype, name="projection")(x)
+        if not train and self.act == "softmax":
+            x = jax.nn.softmax(x, axis=1 if self.num_classes == 1 else -1)
+        return x
+
+
+class ResNetBasicHead(nn.Module):
+    """Global-pool classification head (PySlowFast basic head)."""
+
+    num_classes: int
+    dropout_rate: float = 0.5
+    act: str = "softmax"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.mean(x, axis=(1, 2, 3))  # global T, H, W pool → (B, C)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+        x = nn.Dense(self.num_classes, dtype=self.dtype, name="projection")(x)
+        if not train and self.act == "softmax":
+            x = jax.nn.softmax(x, axis=-1)
+        return x
