@@ -1,8 +1,10 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.json north star): EgoT2-s TTM inference clips/sec per
-chip. Until the translator lands, benches the LAM BaselineLSTM forward
-(the dominant-FLOP component of the translator stack).
+Headline (BASELINE.json north star): EgoT2-s TTM 3-task translator
+inference clips/sec per chip — the frozen LAM+TTM+ASD backbones plus the
+cross-task fusion transformer, end to end from raw frames/wave/MFCC.
+vs_baseline is the ratio against the north-star A100-PyTorch target
+proxy (1000 clips/s ⇒ 5x target ratio = 5.0).
 """
 
 import json
@@ -10,40 +12,56 @@ import time
 
 import numpy as np
 
+T = 30          # frames per clip (a mid bucket)
+BATCH = 16
+IMG = 224
+SR = 16000
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     from egot2x.core.registry import build_model
-    import egot2x.models.lam  # noqa: F401
+    import egot2x.translate.egot2s_hhi  # noqa: F401
 
-    batch = 32
-    model = build_model("BaselineLSTM", dtype=jnp.bfloat16)
-    clip = jnp.asarray(
-        np.random.default_rng(0).standard_normal((batch, 7, 224, 224, 3)),
-        dtype=jnp.float32,
+    model = build_model("TaskFusionMFTransformer3Task", hidden_dim=128,
+                        num_layers=1, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    inputs = (
+        jnp.asarray(rng.standard_normal((BATCH, T, IMG, IMG, 3)), dtype=jnp.float32),
+        jnp.asarray(rng.uniform(0, 255, (BATCH, T, 112, 112)), dtype=jnp.float32),
+        jnp.asarray(rng.standard_normal((BATCH, T * SR // 30)), dtype=jnp.float32),
+        jnp.asarray(rng.standard_normal((BATCH, 4 * T, 13)), dtype=jnp.float32),
     )
-    variables = model.init(jax.random.key(0), clip, train=False)
+    # Initialize on CPU (fast local compile) and transfer — on-device init
+    # costs ~5 min through remote compile for this graph.
+    import sys
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cpu_inputs = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.zeros(x.shape, x.dtype), cpu), inputs)
+        variables = model.init(jax.random.key(0), *cpu_inputs, train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
+    print("init done", file=sys.stderr)
 
     @jax.jit
-    def fwd(video):
-        return model.apply(variables, video, train=False)
+    def fwd(video, video_asd, audio, audio_asd):
+        return model.apply(variables, video, video_asd, audio, audio_asd,
+                           train=False)
 
-    fwd(clip).block_until_ready()  # compile
-    n_iter = 20
+    fwd(*inputs).block_until_ready()  # compile
+    n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = fwd(clip)
+        out = fwd(*inputs)
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    clips_per_sec = batch * n_iter / dt
+    clips_per_sec = BATCH * n_iter / dt
 
-    # vs_baseline: north-star reference is 5x A100-PyTorch for the TTM
-    # translator; no published baseline exists for this interim metric,
-    # report ratio vs a nominal 1000 clips/s A100 estimate.
     print(json.dumps({
-        "metric": "lam_baselinelstm_fwd_clips_per_sec",
+        "metric": "egot2s_ttm_3task_infer_clips_per_sec",
         "value": round(clips_per_sec, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / 1000.0, 3),

@@ -245,6 +245,55 @@ def make_pnr_fixture(
     return root
 
 
+def make_lta_fixture(
+    root: str,
+    n_clip_uids: int = 2,
+    actions_per_clip: int = 26,
+    img_size: int = 64,
+    seed: int = 0,
+) -> str:
+    """Miniature AR/LTA tree: fho_lta_{train,val}.json + clips/<uid>/
+    frame jpegs. Enough consecutive actions per clip_uid for LTA
+    forecasting samples (num_input_clips=2, num_actions=20)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "clips"), exist_ok=True)
+    clips_train, clips_val = [], []
+    n_verbs, n_nouns = 10, 12
+    for v in range(n_clip_uids):
+        uid = f"lclip{v:03d}"
+        frame_dir = os.path.join(root, "clips", uid)
+        os.makedirs(frame_dir, exist_ok=True)
+        total_sec = actions_per_clip * 2.0 + 4
+        n_frames = int(total_sec * 30)
+        # write a sparse frame set (every 5th frame) to keep the fixture small
+        for i in range(0, n_frames, 5):
+            img = rng.integers(0, 255, (img_size, img_size, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(frame_dir, f"frame_{i:06d}.jpg"), img)
+        for a in range(actions_per_clip):
+            info = {
+                "clip_uid": uid,
+                "video_uid": f"lvid{v:03d}",
+                "action_idx": a,
+                "verb_label": int(rng.integers(0, n_verbs)),
+                "noun_label": int(rng.integers(0, n_nouns)),
+                "action_clip_start_sec": a * 2.0,
+                "action_clip_end_sec": a * 2.0 + 2.0,
+            }
+            (clips_train if v < max(1, n_clip_uids // 2) else clips_val).append(info)
+    with open(os.path.join(root, "fho_lta_train.json"), "w") as f:
+        json.dump({"clips": clips_train}, f)
+    with open(os.path.join(root, "fho_lta_val.json"), "w") as f:
+        json.dump({"clips": clips_val or clips_train}, f)
+    # taxonomy for the EgoT2-g vocab
+    tax = {
+        "verbs": [f"verb{i}" for i in range(n_verbs)],
+        "nouns": [f"noun{i}" for i in range(n_nouns)],
+    }
+    with open(os.path.join(root, "fho_lta_taxonomy.json"), "w") as f:
+        json.dump(tax, f)
+    return root
+
+
 def make_wave(n_samples: int, seed: int = 0) -> np.ndarray:
     """Synthetic audio: a few random sinusoids + noise, float32 in [-1, 1]."""
     rng = np.random.default_rng(seed)
