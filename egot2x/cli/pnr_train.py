@@ -20,6 +20,9 @@ TASKS = {
     "state_change_classification": "StateChangeClassification",
     "state_change_detection_and_keyframe_localisation":
         "StateChangeAndKeyframeLocalisation",
+    # EgoT2-s 2-loader translation tasks (egot2x.tasks.pnr_2loader)
+    "keyframe_localisation2loader": "KeyframeLocalisation2Loader",
+    "state_change_classification2loader": "StateChangeClassification2Loader",
 }
 
 
@@ -76,6 +79,12 @@ def main(argv=None):
         cfg.batch_size = min(cfg.batch_size, 4)
         cfg.num_workers = 2
 
+    if cfg.task.endswith("2loader"):
+        import egot2x.tasks.pnr_2loader as pnr_tasks  # noqa: F811
+        if cfg.synthetic:
+            cfg.aux_crop = 64
+            cfg.aux_num_frames = 8
+            cfg.alpha = 4
     task_cls = getattr(pnr_tasks, TASKS[cfg.task])
     task = task_cls(cfg)
     trainer = Trainer(

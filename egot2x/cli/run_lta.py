@@ -81,6 +81,11 @@ def main(argv=None):
         cfg.batch_size = min(cfg.batch_size, 2)
         cfg.num_classes = [10, 12]
         cfg.num_workers = 2
+        if cfg.task.endswith("2loader"):
+            cfg.pnr_crop = 65
+            cfg.pnr_frames = 8
+            cfg.translation_features = 64
+            cfg.num_actions = 4 if cfg.task == "lta2loader" else 20
 
     mod_name, cls_name = TASKS[cfg.task]
     task_cls = getattr(importlib.import_module(mod_name), cls_name)

@@ -1,0 +1,428 @@
+"""EgoT2-s HOI translators: PNR/OSCC/AR/LTA cross-task token fusion.
+
+Behavioral reference:
+  * HOI/models/pnr/video_model_transfer_3task.py — PNR/OSCC-target
+    3-task fusion: pnr tokens (B,16,8192→D) + oscc tokens (B,16,8192→D)
+    + AR slow tokens (spatial-pooled (B,8,2048→D)) + AR fast tokens
+    (adaptive-pool-to-8 (B,8,256→D)) = 48 tokens; shared LN + learned PE
+    (randn); post-LN torch encoder (heads 8, ff = 2·D) with feature
+    dropout (``TaskFusionMFTransformer3TaskDropout`` :213-258, the
+    ts_pnr/ts_oscc model) or a pre-LN simple_vit encoder
+    (``TaskFusionMFTransformer3Task`` :129-164); token mean → LN+Linear
+    → 16 (keyframe) or 2 (state). Late-fusion and transfer baselines
+    :67-125, :262-292.
+  * HOI/models/lta/lta_models_transfer.py — AR-target 3-task fusion:
+    same 48 tokens, two heads (verbs, nouns) (:100-160); transfer
+    baselines Keyframe2Action/State2Action/FinetuneAction (:23-68).
+  * HOI/models/lta/lta_models_lta_transfer.py — LTA-target fusion:
+    ``TaskFusionMFTransformer2Task`` (:429-526, AR+LTA clip tokens,
+    2·N tokens, MultiTaskHead Z-action decode + Categorical generate)
+    and ``TaskFusionMFTransformerLTA4Task`` (:257-377, adds per-clip
+    PNR/OSCC tokens meaned over T → 4·N tokens).
+
+Freezing follows the structural split: backbone keys in HOI_FROZEN_KEYS
+are stop-gradiented and excluded from the optimizer; the AR backbone's
+*head* stays live (reference freeze_backbone_params keeps the head
+trainable) by keeping it under a non-frozen key.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from egot2x.core.registry import MODEL_REGISTRY
+from egot2x.models.ar_lta import SlowFastFeature, TransformerAggregator
+from egot2x.models.pnr import KeyframeLocalizationResNet, StateChangeClsResNet
+from egot2x.nn.common import TransformerEncoder
+from egot2x.nn.slowfast import MultiTaskHead, SlowFast
+
+Dtype = Any
+
+HOI_FROZEN_KEYS = ("pnr_model", "oscc_model", "action_model", "lta_model")
+
+
+def adaptive_avg_pool_time(x: jax.Array, out_t: int) -> jax.Array:
+    """(B, T, D) → (B, out_t, D), torch AdaptiveAvgPool semantics."""
+    b, t, d = x.shape
+    if t == out_t:
+        return x
+    outs = []
+    for i in range(out_t):
+        s, e = int((i * t) // out_t), int(((i + 1) * t + out_t - 1) // out_t)
+        outs.append(x[:, s:e].mean(axis=1))
+    return jnp.stack(outs, axis=1)
+
+
+class _HOIStreamMixin(nn.Module):
+    """Backbone stream extraction shared by the HOI translators."""
+
+    crop_size: int = 225
+    alpha: int = 8
+    beta_inv: int = 8
+    nofreeze: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _freeze(self, x):
+        return x if self.nofreeze else jax.lax.stop_gradient(x)
+
+    def _pnr_tokens(self, frames):
+        """(B, 16, 8192) per-frame tokens from the frozen PNR backbone."""
+        return self._freeze(
+            KeyframeLocalizationResNet(crop_size=self.crop_size, dtype=self.dtype,
+                                       name="pnr_model")(frames, middle=True))
+
+    def _oscc_tokens(self, frames):
+        return self._freeze(
+            StateChangeClsResNet(crop_size=self.crop_size, no_temp_pool=True,
+                                 dtype=self.dtype,
+                                 name="oscc_model")(frames, middle=True))
+
+    def _action_token_streams(self, pathways, fast_out_t: int = 8):
+        """Frozen SlowFast s5 → slow tokens (B, T/α, 2048) and
+        adaptive-pooled fast tokens (B, fast_out_t, 256)."""
+        slow, fast = SlowFast(alpha=self.alpha, beta_inv=self.beta_inv,
+                              dtype=self.dtype, name="action_model")(
+            pathways, train=False)
+        slow_tok = self._freeze(jnp.mean(slow, axis=(2, 3)))
+        fast_tok = self._freeze(
+            adaptive_avg_pool_time(jnp.mean(fast, axis=(2, 3)), fast_out_t))
+        return slow_tok, fast_tok
+
+
+class _TokenFusionCore(nn.Module):
+    """LN + learned PE + post-LN encoder + mean pool (HOI style: one
+    shared LN before the PE, PE is a learned (1, L, D) parameter)."""
+
+    sequence_len: int
+    feature_dim: int
+    num_heads: int = 8
+    num_layers: int = 3
+    dropout: float = 0.1
+    ff_multiplier: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, deterministic: bool = True):
+        pe = self.param("pe", nn.initializers.normal(1.0),
+                        (1, self.sequence_len, self.feature_dim), jnp.float32)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln")(tokens) + pe
+        x = TransformerEncoder(
+            self.num_layers, self.feature_dim, self.num_heads,
+            dim_feedforward=self.feature_dim * self.ff_multiplier,
+            dropout=self.dropout, dtype=self.dtype, name="transformer",
+        )(x, deterministic=deterministic)
+        return x.mean(axis=1)
+
+
+@MODEL_REGISTRY.register(name="TaskFusionMFTransformer3TaskDropout")
+class TaskFusionMFTransformer3TaskDropout(_HOIStreamMixin):
+    """The ts_pnr / ts_oscc translator (48-token mid fusion + feature
+    dropout). target='keyframe' → 16 logits, 'state' → 2."""
+
+    target: str = "keyframe"
+    feature_dim: int = 128
+    num_layers: int = 1
+    num_heads: int = 8
+    feat_dropout: float = 0.5
+    transformer_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, frames, pathways, train: bool = False):
+        det = not train
+        pnr = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj1")(
+            self._pnr_tokens(frames))
+        oscc = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj2")(
+            self._oscc_tokens(frames))
+        slow_tok, fast_tok = self._action_token_streams(pathways)
+        slow = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj3_slow")(slow_tok)
+        fast = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj3_fast")(fast_tok)
+        dp = nn.Dropout(self.feat_dropout)
+        streams = [dp(s, deterministic=det) for s in (pnr, oscc, slow, fast)]
+        tokens = jnp.concatenate(streams, axis=1)
+        pooled = _TokenFusionCore(
+            tokens.shape[1], self.feature_dim, self.num_heads, self.num_layers,
+            self.transformer_dropout, dtype=self.dtype, name="core",
+        )(tokens, deterministic=det)
+        pooled = nn.LayerNorm(dtype=self.dtype, name="head_ln")(pooled)
+        n_out = 16 if self.target == "keyframe" else 2
+        return nn.Dense(n_out, dtype=self.dtype, name="head_fc")(pooled)
+
+
+@MODEL_REGISTRY.register(name="ARTaskFusionMFTransformer3Task")
+class ARTaskFusionMFTransformer3Task(_HOIStreamMixin):
+    """AR-target 48-token fusion → verb+noun logits
+    (lta_models_transfer.py TaskFusionMFTransformer3Task)."""
+
+    num_classes: Sequence[int] = (115, 478)
+    feature_dim: int = 256
+    num_layers: int = 3
+    num_heads: int = 8
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, pathways, frames, train: bool = False):
+        det = not train
+        pnr = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj1")(
+            self._pnr_tokens(frames))
+        oscc = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj2")(
+            self._oscc_tokens(frames))
+        slow_tok, fast_tok = self._action_token_streams(pathways)
+        slow = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj3_slow")(slow_tok)
+        fast = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj3_fast")(fast_tok)
+        tokens = jnp.concatenate([pnr, oscc, slow, fast], axis=1)
+        pooled = _TokenFusionCore(
+            tokens.shape[1], self.feature_dim, self.num_heads, self.num_layers,
+            self.dropout, ff_multiplier=8, dtype=self.dtype, name="core",
+        )(tokens, deterministic=det)
+        return [
+            nn.Dense(self.num_classes[0], dtype=self.dtype, name="head_verb")(pooled),
+            nn.Dense(self.num_classes[1], dtype=self.dtype, name="head_noun")(pooled),
+        ]
+
+
+class _LtaDecode(nn.Module):
+    """MultiTaskHead Z-action decode shared by the LTA translators."""
+
+    num_classes: Sequence[int] = (115, 478)
+    num_actions: int = 20
+    dropout_rate: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+        total = sum(self.num_classes)
+        logits = jnp.stack([
+            nn.Dense(total, dtype=self.dtype, name=f"head_{z}")(x)
+            for z in range(self.num_actions)
+        ], axis=1)
+        return [logits[..., : self.num_classes[0]],
+                logits[..., self.num_classes[0]:]]
+
+
+def _categorical_generate(outs, k, rng):
+    results = []
+    for hi, head_logits in enumerate(outs):
+        if k > 1:
+            keys = jax.random.split(jax.random.fold_in(rng, hi), k)
+            preds = [jax.random.categorical(key, head_logits, axis=-1)
+                     for key in keys]
+        else:
+            preds = [jnp.argmax(head_logits, axis=-1)]
+        results.append(jnp.stack(preds, axis=1))
+    return results
+
+
+@MODEL_REGISTRY.register(name="TaskFusionMFTransformer2TaskLTA")
+class TaskFusionMFTransformer2TaskLTA(_HOIStreamMixin):
+    """LTA-target 2-task fusion: AR clip features + LTA aggregator clip
+    tokens (2·N tokens) → Z-action decode (lta_models_lta_transfer.py:429-526).
+
+    The AR backbone's feature head stays trainable (non-frozen key
+    ``action_head``), matching freeze_backbone_params semantics."""
+
+    num_classes: Sequence[int] = (115, 478)
+    num_actions: int = 20
+    num_input_clips: int = 2
+    feature_dim: int = 2048
+    num_layers: int = 1
+    num_heads: int = 8
+    dropout: float = 0.1
+
+    def setup(self):
+        self.action_model = SlowFast(alpha=self.alpha, beta_inv=self.beta_inv,
+                                     dtype=self.dtype)
+        self.action_head = MultiTaskHead((self.feature_dim,), 0.5, act="none",
+                                         dtype=self.dtype)
+        self.lta_model = _FrozenLtaEncoder(self.feature_dim, self.alpha,
+                                           self.beta_inv, dtype=self.dtype)
+        self.core = _TokenFusionCore(
+            self.num_input_clips * 2, self.feature_dim, self.num_heads,
+            self.num_layers, self.dropout, dtype=self.dtype)
+        self.decoder = _LtaDecode(self.num_classes, self.num_actions,
+                                  dtype=self.dtype)
+
+    def _encode_action_clips(self, pathways, train):
+        n = pathways[0].shape[1]
+        feats = []
+        for i in range(n):
+            clip = [p[:, i] for p in pathways]
+            s5 = self.action_model(clip, train=False)
+            s5 = [self._freeze(p) for p in s5]
+            feats.append(self.action_head(s5, train=train)[0])
+        return jnp.stack(feats, axis=1)  # (B, N, D)
+
+    def __call__(self, pathways, tgts=None, train: bool = False):
+        feat_action = self._encode_action_clips(pathways, train)
+        feat_lta = self._freeze(self.lta_model(pathways))
+        tokens = jnp.concatenate([feat_action, feat_lta], axis=1)
+        pooled = self.core(tokens, deterministic=not train)
+        return self.decoder(pooled, train=train)
+
+    def generate(self, pathways, k: int = 1, rng: Optional[jax.Array] = None):
+        return _categorical_generate(self(pathways, train=False), k, rng)
+
+
+class _FrozenLtaEncoder(nn.Module):
+    """Frozen LTA backbone+aggregator producing clip tokens (B, N, D)."""
+
+    feature_dim: int = 2048
+    alpha: int = 8
+    beta_inv: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pathways):
+        n = pathways[0].shape[1]
+        backbone = SlowFastFeature(self.feature_dim, self.alpha, self.beta_inv,
+                                   dtype=self.dtype, name="backbone")
+        feats = [backbone([p[:, i] for p in pathways], train=False)
+                 for i in range(n)]
+        return TransformerAggregator(dim=self.feature_dim, dtype=self.dtype,
+                                     name="clip_aggregator")(
+            feats, middle=True, deterministic=True)
+
+
+@MODEL_REGISTRY.register(name="TaskFusionMFTransformerLTA4Task")
+class TaskFusionMFTransformerLTA4Task(_HOIStreamMixin):
+    """LTA-target 4-task fusion: per-clip PNR + OSCC tokens (meaned over
+    T) + AR clip features + LTA clip tokens = 4·N tokens
+    (lta_models_lta_transfer.py:257-377)."""
+
+    num_classes: Sequence[int] = (115, 478)
+    num_actions: int = 20
+    num_input_clips: int = 2
+    feature_dim: int = 2048
+    num_layers: int = 1
+    num_heads: int = 8
+    dropout: float = 0.1
+
+    def setup(self):
+        self.pnr_model = KeyframeLocalizationResNet(crop_size=self.crop_size,
+                                                    dtype=self.dtype)
+        self.oscc_model = StateChangeClsResNet(crop_size=self.crop_size,
+                                               no_temp_pool=True, dtype=self.dtype)
+        self.action_model = SlowFast(alpha=self.alpha, beta_inv=self.beta_inv,
+                                     dtype=self.dtype)
+        self.action_head = MultiTaskHead((self.feature_dim,), 0.5, act="none",
+                                         dtype=self.dtype)
+        self.lta_model = _FrozenLtaEncoder(self.feature_dim, self.alpha,
+                                           self.beta_inv, dtype=self.dtype)
+        self.proj_pnr = nn.Dense(self.feature_dim, dtype=self.dtype)
+        self.proj_oscc = nn.Dense(self.feature_dim, dtype=self.dtype)
+        self.core = _TokenFusionCore(
+            self.num_input_clips * 4, self.feature_dim, self.num_heads,
+            self.num_layers, self.dropout, dtype=self.dtype)
+        self.decoder = _LtaDecode(self.num_classes, self.num_actions,
+                                  dtype=self.dtype)
+
+    def _encode_clips_pnr(self, model, frames):
+        """frames (B, N, T, S, S, 3) → (B, N, 8192) tokens meaned over T
+        (reference encode_clips_pnr :340-347)."""
+        n = frames.shape[1]
+        feats = [
+            self._freeze(model(frames[:, i], middle=True)).mean(axis=1)
+            for i in range(n)
+        ]
+        return jnp.stack(feats, axis=1)
+
+    def _encode_action_clips(self, pathways, train):
+        n = pathways[0].shape[1]
+        feats = []
+        for i in range(n):
+            s5 = self.action_model([p[:, i] for p in pathways], train=False)
+            s5 = [self._freeze(p) for p in s5]
+            feats.append(self.action_head(s5, train=train)[0])
+        return jnp.stack(feats, axis=1)
+
+    def __call__(self, pathways, frames_pnr, tgts=None, train: bool = False):
+        feat_pnr = self.proj_pnr(self._encode_clips_pnr(self.pnr_model, frames_pnr))
+        feat_oscc = self.proj_oscc(self._encode_clips_pnr(self.oscc_model, frames_pnr))
+        feat_action = self._encode_action_clips(pathways, train)
+        feat_lta = self._freeze(self.lta_model(pathways))
+        tokens = jnp.concatenate([feat_pnr, feat_oscc, feat_action, feat_lta], axis=1)
+        pooled = self.core(tokens, deterministic=not train)
+        return self.decoder(pooled, train=train)
+
+    def generate(self, pathways, frames_pnr, k: int = 1,
+                 rng: Optional[jax.Array] = None):
+        return _categorical_generate(self(pathways, frames_pnr, train=False), k, rng)
+
+
+# ---- transfer / late-fusion baselines ----------------------------------
+
+@MODEL_REGISTRY.register(name="Action2State")
+class Action2State(_HOIStreamMixin):
+    """AR feature → OSCC logits (video_model_transfer_3task.py:262-275)."""
+
+    feature_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, frames, pathways, train: bool = False):
+        slow, fast = SlowFast(alpha=self.alpha, beta_inv=self.beta_inv,
+                              dtype=self.dtype, name="action_model")(
+            pathways, train=False)
+        feat = self._freeze(MultiTaskHead((self.feature_dim,), 0.5, act="none",
+                                          dtype=self.dtype, name="action_head")(
+            [slow, fast], train=train)[0])
+        return nn.Dense(2, dtype=self.dtype, name="fc1")(nn.relu(feat))
+
+
+@MODEL_REGISTRY.register(name="Action2Keyframe")
+class Action2Keyframe(_HOIStreamMixin):
+    feature_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, frames, pathways, train: bool = False):
+        slow, fast = SlowFast(alpha=self.alpha, beta_inv=self.beta_inv,
+                              dtype=self.dtype, name="action_model")(
+            pathways, train=False)
+        feat = self._freeze(MultiTaskHead((self.feature_dim,), 0.5, act="none",
+                                          dtype=self.dtype, name="action_head")(
+            [slow, fast], train=train)[0])
+        return nn.Dense(16, dtype=self.dtype, name="fc1")(nn.relu(feat))
+
+
+@MODEL_REGISTRY.register(name="Keyframe2State")
+class Keyframe2State(_HOIStreamMixin):
+    """PNR tokens → OSCC logits (video_model_transfer.py)."""
+
+    @nn.compact
+    def __call__(self, frames, pathways=None, train: bool = False):
+        tokens = self._pnr_tokens(frames).mean(axis=1)
+        return nn.Dense(2, dtype=self.dtype, name="fc1")(nn.relu(tokens))
+
+
+@MODEL_REGISTRY.register(name="State2Keyframe")
+class State2Keyframe(_HOIStreamMixin):
+    @nn.compact
+    def __call__(self, frames, pathways=None, train: bool = False):
+        tokens = self._oscc_tokens(frames).mean(axis=1)
+        return nn.Dense(16, dtype=self.dtype, name="fc1")(nn.relu(tokens))
+
+
+@MODEL_REGISTRY.register(name="Keyframe2Action")
+class Keyframe2Action(_HOIStreamMixin):
+    num_classes: Sequence[int] = (115, 478)
+
+    @nn.compact
+    def __call__(self, pathways, frames, train: bool = False):
+        x = self._pnr_tokens(frames).mean(axis=1)
+        return [nn.Dense(self.num_classes[0], dtype=self.dtype, name="fc1")(x),
+                nn.Dense(self.num_classes[1], dtype=self.dtype, name="fc2")(x)]
+
+
+@MODEL_REGISTRY.register(name="State2Action")
+class State2Action(_HOIStreamMixin):
+    num_classes: Sequence[int] = (115, 478)
+
+    @nn.compact
+    def __call__(self, pathways, frames, train: bool = False):
+        x = self._oscc_tokens(frames).mean(axis=1)
+        return [nn.Dense(self.num_classes[0], dtype=self.dtype, name="fc1")(x),
+                nn.Dense(self.num_classes[1], dtype=self.dtype, name="fc2")(x)]
