@@ -94,11 +94,19 @@ def crop_face_square(img: np.ndarray, cx: float, cy: float, half: float) -> np.n
 
 
 class AsdTrialDataset(BucketedDataset):
-    """Per-trial variable-length (mfcc, faces, frame labels)."""
+    """Per-trial variable-length (mfcc, faces, frame labels).
+
+    ``with_rgb=True`` additionally produces the TTM-style 224-RGB face
+    stream and the raw normalized wave (reference load_visual_2task /
+    train_loader_2task, dataLoader.py:155-260) for the EgoT2-g
+    cross-task encodings.
+    """
 
     def __init__(self, root: str, split: str = "train", augment: Optional[bool] = None,
-                 seed: int = 0):
+                 seed: int = 0, with_rgb: bool = False, rgb_size: int = 224):
         self.root = root
+        self.with_rgb = with_rgb
+        self.rgb_size = rgb_size
         self.augment = (split == "train") if augment is None else augment
         self.rng = np.random.default_rng(seed)
         csv_path = os.path.join(root, "csv", f"active_speaker_{split}.csv")
@@ -202,12 +210,55 @@ class AsdTrialDataset(BucketedDataset):
         labels = trial["labels"][:n_frames]
         if len(labels) < n_frames:
             labels = np.pad(labels, (0, n_frames - len(labels)), mode="edge")
-        return {
+        item = {
             "mfcc": mfcc_feat,          # (4*n_frames, 13)
             "faces": faces,             # (n_frames, 112, 112) gray [0,255]
             "labels": labels,           # (n_frames,)
             "trackid": trial["trackid"],
         }
+        if self.with_rgb:
+            item["frames"] = self._load_rgb(trial, n_frames)
+            item["audio"] = self._load_wave_slice(trial, n_frames)
+        return item
+
+    def _load_rgb(self, trial, n_frames: int) -> np.ndarray:
+        """TTM-style normalized RGB bbox crops (n, S, S, 3)."""
+        from egot2x.data.lam import normalize_frames
+
+        trackid = trial["trackid"]
+        uid = trackid[:36]
+        s = self.rgb_size
+        out = np.zeros((n_frames, s, s, 3), dtype=np.uint8)
+        with open(os.path.join(self.root, "bbox", trackid + ".json")) as f:
+            bbox = {b["frame"]: b for b in json.load(f)}
+        j = 0
+        for i in range(trial["start"], trial["start"] + trial["num_frames"]):
+            if j >= n_frames or i not in bbox:
+                continue
+            img_path = os.path.join(self.root, "imgs", uid, f"img_{i:05d}.jpg")
+            if not os.path.exists(img_path):
+                continue
+            img = cv2.imread(img_path)
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            b = bbox[i]
+            x1, y1 = int(b["x"]), int(b["y"])
+            x2, y2 = int(b["x"] + b["width"]), int(b["y"] + b["height"])
+            face = img[y1:y2, x1:x2]
+            if face.size:
+                out[j] = cv2.resize(face, (s, s))
+            j += 1
+        return normalize_frames(out)
+
+    def _load_wave_slice(self, trial, n_frames: int) -> np.ndarray:
+        uid = trial["trackid"][:36]
+        sr, wave = self._read_wave(uid)
+        fps = trial["fps"]
+        onset = int(trial["start"] / fps * sr)
+        n_samples = int(n_frames / fps * 16000)
+        audio = wave[onset: onset + n_samples].astype(np.float64)
+        if len(audio) < n_samples:
+            audio = np.pad(audio, (0, n_samples - len(audio)))
+        return normalize_audio_int16(audio)
 
 
 class AsdSeqDataset(AsdTrialDataset):

@@ -85,6 +85,48 @@ class RecognitionWithAuxDataset(Ego4dRecognitionDataset):
         return item
 
 
+class PnrSeqDataset(PnrWithAuxDataset):
+    """EgoT2-g targets for pnr + oscc decodes (reference
+    PNRDatasetwithAuxTaskSequenceLabel, :550-586): pnr target =
+    [<pnr>, <kf idx>, </s>], oscc target = [<oscc>, True/False, </s>]."""
+
+    def __init__(self, vocab, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vocab = vocab
+
+    def __getitem__(self, index: int) -> Dict:
+        item = super().__getitem__(index)
+        kf_idx = int(np.argmax(item["labels"]))
+        v = self.vocab
+        item["target_pnr"] = np.asarray(
+            [v["pnr"], v[str(kf_idx)], v["</s>"]], dtype=np.int64)
+        state_tok = "True" if int(item["state"]) == 1 else "False"
+        item["target_oscc"] = np.asarray(
+            [v["oscc"], v[state_tok], v["</s>"]], dtype=np.int64)
+        return item
+
+
+class RecognitionSeqDataset(RecognitionWithAuxDataset):
+    """Verb/noun token targets (Ego4dRecognitionSeparateSequenceLabel)."""
+
+    def __init__(self, vocab, verb_dict, noun_dict, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vocab = vocab
+        self.verb_dict = verb_dict
+        self.noun_dict = noun_dict
+
+    def __getitem__(self, index: int) -> Dict:
+        item = super().__getitem__(index)
+        v = self.vocab
+        verb_tok = self.verb_dict[int(item["verb"])]
+        noun_tok = self.noun_dict[int(item["noun"])]
+        item["target_verb"] = np.asarray(
+            [v["action_verb"], v[verb_tok], v["</s>"]], dtype=np.int64)
+        item["target_noun"] = np.asarray(
+            [v["action_noun"], v[noun_tok], v["</s>"]], dtype=np.int64)
+        return item
+
+
 class LtaWithAuxDataset(Ego4dLtaDataset):
     """LTA item + per-input-clip PNR-style streams (N, 16, S, S, 3)."""
 
@@ -106,4 +148,26 @@ class LtaWithAuxDataset(Ego4dLtaDataset):
                                for f in frames])
             streams.append(frames.astype(np.float32))
         item["frames_pnr"] = np.stack(streams)
+        return item
+
+
+class LtaSeqDataset(LtaWithAuxDataset):
+    """Next-action verb/noun token targets for the lta decodes
+    (Ego4dLongTermAnticipationwithAuxTaskSeparateSequenceLabel)."""
+
+    def __init__(self, vocab, verb_dict, noun_dict, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vocab = vocab
+        self.verb_dict = verb_dict
+        self.noun_dict = noun_dict
+
+    def __getitem__(self, index: int) -> Dict:
+        item = super().__getitem__(index)
+        v = self.vocab
+        verb_tok = self.verb_dict[int(item["verb"][0])]
+        noun_tok = self.noun_dict[int(item["noun"][0])]
+        item["target_verb"] = np.asarray(
+            [v["lta_verb"], v[verb_tok], v["</s>"]], dtype=np.int64)
+        item["target_noun"] = np.asarray(
+            [v["lta_noun"], v[noun_tok], v["</s>"]], dtype=np.int64)
         return item

@@ -1,0 +1,241 @@
+"""HOI EgoT2-g task: unified 6-task label-token translation.
+
+Behavioral reference: HOI/tasks/multitask/video_task.py:527-784
+(``Unified6TaskTranslation``) — CombinedLoader over {pnr/oscc, action,
+lta} aux-datasets; per step six teacher-forced decodes (pnr, oscc,
+action_verb, action_noun, lta_verb, lta_noun), loss =
+Σ ratio_i · CE(tokens); validation runs greedy ``predict`` per task and
+scores through *vocab-subset* metrics: the argmax is taken over only
+the task's legal tokens ('0'..'15' for pnr, True/False for oscc,
+verb/noun name ids for action/lta), mirroring
+PNRMetric/OSCCMetric/ARMetric/LTAMetric
+(HOI/evaluation/pnr/metrics.py:139-257, lta_metrics.py:164-310).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egot2x.core.registry import build_model
+from egot2x.data.combined import CombinedLoader
+from egot2x.data.hoi_2task import (
+    LtaSeqDataset,
+    PnrSeqDataset,
+    RecognitionSeqDataset,
+)
+from egot2x.data.pipeline import BatchLoader
+from egot2x.tasks.base import Task
+from egot2x.tasks.multitask_hhi import seq_ce
+from egot2x.train.optim import construct_optimizer
+from egot2x.train.state import TrainState, merge_trees, split_params
+from egot2x.translate.egot2g import HOI_G_FROZEN_KEYS
+from egot2x.translate.vocab import build_hoi_vocab, map_label_to_action
+
+import egot2x.translate.egot2g  # noqa: F401
+
+# (source batch name, target key, task string passed to the model)
+DECODES = [
+    ("pnr", "target_pnr", "pnr"),
+    ("pnr", "target_oscc", "oscc"),
+    ("action", "target_verb", "action"),
+    ("action", "target_noun", "action"),
+    ("lta", "target_verb", "lta"),
+    ("lta", "target_noun", "lta"),
+]
+
+
+class Unified6TaskTranslation(Task):
+    checkpoint_metric = "val_loss"
+    checkpoint_mode = "min"
+
+    def __init__(self, cfg):
+        import os
+
+        self.cfg = cfg
+        tax = cfg.get("taxonomy") or os.path.join(cfg.lta_root,
+                                                  "fho_lta_taxonomy.json")
+        self.vocab = build_hoi_vocab(tax)
+        self.verb_dict, self.noun_dict = map_label_to_action(tax)
+        self.ratios = cfg.get("loss_ratios", [1.0] * 6)
+        self.model = build_model(
+            "TaskTranslationPromptTransformer6Task",
+            vocab_size=len(self.vocab),
+            hidden_dim=cfg.get("hidden_dim", 256),
+            num_heads=cfg.get("num_heads", 4),
+            num_layers=cfg.get("num_layers", 3),
+            dropout=cfg.get("dropout", 0.1),
+            crop_size=cfg.get("pnr_crop", 225),
+            alpha=cfg.get("alpha", 8),
+            beta_inv=cfg.get("beta_inv", 8),
+            feature_dim=cfg.get("lta_feature_dim", 2048),
+        )
+        # vocab subsets for metric-time argmax restriction
+        self.subsets = {
+            "pnr": np.asarray([self.vocab[str(i)] for i in range(16)]),
+            "oscc": np.asarray([self.vocab["False"], self.vocab["True"]]),
+            "verb": np.unique([self.vocab[v] for v in self.verb_dict.values()]),
+            "noun": np.unique([self.vocab[n] for n in self.noun_dict.values()]),
+        }
+
+    # -- data ---------------------------------------------------------------
+    def _loaders(self, split):
+        c = self.cfg
+        mode = "train" if split == "train" else "eval"
+        common = dict(num_frames=c.get("num_frames", 32), alpha=c.get("alpha", 8),
+                      crop_size=c.get("crop_size", 224),
+                      pnr_frames=c.get("pnr_frames", 16),
+                      pnr_crop=c.get("pnr_crop", 225), seed=c.seed)
+        pnr = BatchLoader(
+            PnrSeqDataset(self.vocab, c.pnr_root, split=split,
+                          crop_size=c.get("pnr_crop", 225),
+                          aux_num_frames=c.get("num_frames", 32),
+                          aux_alpha=c.get("alpha", 8),
+                          aux_crop=c.get("crop_size", 224)),
+            c.get("pnr_batch", 2), mode=mode, seed=c.seed,
+            num_workers=c.num_workers)
+        action = BatchLoader(
+            RecognitionSeqDataset(self.vocab, self.verb_dict, self.noun_dict,
+                                  c.lta_root, split=split, **common),
+            c.get("action_batch", 2), mode=mode, seed=c.seed,
+            num_workers=c.num_workers)
+        lta = BatchLoader(
+            LtaSeqDataset(self.vocab, self.verb_dict, self.noun_dict,
+                          c.lta_root, split=split,
+                          num_input_clips=c.get("num_input_clips", 2),
+                          num_actions=c.get("num_actions", 20), **common),
+            c.get("lta_batch", 2), mode=mode, seed=c.seed,
+            num_workers=c.num_workers)
+        return {"pnr": pnr, "action": action, "lta": lta}
+
+    def train_loader(self):
+        return CombinedLoader(self._loaders("train"))
+
+    def val_loader(self):
+        return CombinedLoader(self._loaders("val"))
+
+    # -- model args ---------------------------------------------------------
+    def _model_args(self, src, batch, task):
+        if src == "lta":
+            pathways = [batch["slow"], batch["fast"]]  # (B, N, ...)
+            return (batch["frames_pnr"], pathways)
+        pathways = [batch["slow"], batch["fast"]]
+        return (batch["frames"] if src == "pnr" else batch["frames_pnr"],
+                pathways)
+
+    def build_state(self, rng: jax.Array) -> TrainState:
+        c = self.cfg
+        s = c.get("crop_size", 224)
+        ps = c.get("pnr_crop", 225)
+        t = c.get("num_frames", 32)
+        a = c.get("alpha", 8)
+        n = c.get("num_input_clips", 2)
+        frames = jnp.zeros((1, c.get("pnr_frames", 16), ps, ps, 3), jnp.float32)
+        pathways = [jnp.zeros((1, t // a, s, s, 3), jnp.float32),
+                    jnp.zeros((1, t, s, s, 3), jnp.float32)]
+        lta_frames = jnp.zeros((1, n, c.get("pnr_frames", 16), ps, ps, 3),
+                               jnp.float32)
+        lta_pathways = [jnp.zeros((1, n, t // a, s, s, 3), jnp.float32),
+                        jnp.zeros((1, n, t, s, s, 3), jnp.float32)]
+        tgt = jnp.zeros((1, 2), jnp.int32)
+        variables = self.model.init(rng, frames, pathways, tgt, "pnr",
+                                    train=False)
+        # lta branch has extra submodules: init them too and merge
+        lta_vars = self.model.init(rng, lta_frames, lta_pathways, tgt, "lta",
+                                   train=False)
+        variables = jax.tree_util.tree_map(
+            lambda a: a, merge_trees(lta_vars, dict(variables)))
+        trainable, frozen = split_params(
+            variables["params"], lambda k: k in HOI_G_FROZEN_KEYS
+            or k in ("lta_backbone", "lta_aggregator"))
+        tx = construct_optimizer(trainable, method="adam", lr=c.lr)
+        return TrainState.create(
+            apply_fn=self.model.apply, params=trainable, frozen=frozen, tx=tx,
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    # -- steps --------------------------------------------------------------
+    def train_step(self, state: TrainState, batches, rng):
+        def loss_fn(params):
+            full = merge_trees(state.frozen, params) if state.frozen else params
+            variables = {"params": full, "batch_stats": state.batch_stats}
+            total = 0.0
+            for di, (src, tkey, task) in enumerate(DECODES):
+                batch = batches[src]
+                tgt = batch[tkey]
+                logits = state.apply_fn(
+                    variables, *self._model_args(src, batch, task),
+                    tgt[:, :-1], task, train=True,
+                    rngs={"dropout": jax.random.fold_in(rng, di)},
+                )
+                total = total + self.ratios[di] * seq_ce(logits, tgt[:, 1:])
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss}
+
+    def eval_step(self, state: TrainState, batches):
+        variables = state.variables()
+        out = {}
+        # pnr/oscc: 1-step predict over full vocab
+        pnr_batch = batches["pnr"]
+        for task in ("pnr", "oscc"):
+            out[task] = state.apply_fn(
+                variables, *self._model_args("pnr", pnr_batch, task), task,
+                method="predict")
+        for src, task in (("action", "action"), ("lta", "lta")):
+            preds = state.apply_fn(
+                variables, *self._model_args(src, batches[src], task), task,
+                method="predict")
+            out[f"{task}_verb"] = preds["verb"]
+            out[f"{task}_noun"] = preds["noun"]
+        # teacher-forced loss
+        total = 0.0
+        for di, (src, tkey, task) in enumerate(DECODES):
+            batch = batches[src]
+            tgt = batch[tkey]
+            logits = state.apply_fn(
+                variables, *self._model_args(src, batch, task), tgt[:, :-1],
+                task, train=False)
+            total = total + self.ratios[di] * seq_ce(logits, tgt[:, 1:])
+        out["loss"] = total
+        return out
+
+    # -- validation ---------------------------------------------------------
+    def start_validation(self):
+        return {"correct": defaultdict(int), "total": defaultdict(int),
+                "loss": []}
+
+    def _subset_argmax(self, logits, subset):
+        return subset[np.argmax(logits[:, subset], axis=-1)]
+
+    def accumulate(self, ctx, outputs, batches):
+        ctx["loss"].append(float(np.asarray(outputs["loss"])))
+        pnr_batch = batches["pnr"]
+        for task, tkey in (("pnr", "target_pnr"), ("oscc", "target_oscc")):
+            logits = np.asarray(outputs[task])
+            subset = self.subsets["pnr" if task == "pnr" else "oscc"]
+            pred = self._subset_argmax(logits, subset)
+            gold = np.asarray(pnr_batch[tkey])[:, 1]
+            ctx["correct"][task] += int((pred == gold).sum())
+            ctx["total"][task] += len(pred)
+        for src in ("action", "lta"):
+            batch = batches[src]
+            for sub in ("verb", "noun"):
+                logits = np.asarray(outputs[f"{src}_{sub}"])
+                pred = self._subset_argmax(logits, self.subsets[sub])
+                gold = np.asarray(batch[f"target_{sub}"])[:, 1]
+                key = f"{src}_{sub}"
+                ctx["correct"][key] += int((pred == gold).sum())
+                ctx["total"][key] += len(pred)
+
+    def finalize_validation(self, ctx) -> Dict[str, float]:
+        out = {"val_loss": float(np.mean(ctx["loss"])) if ctx["loss"] else 0.0}
+        for key in ctx["total"]:
+            out[f"val_{key}_acc"] = ctx["correct"][key] / max(ctx["total"][key], 1)
+        return out

@@ -112,9 +112,24 @@ class Trainer:
         return isinstance(v, np.ndarray) and v.dtype.kind in "biufc"
 
     def _device_batch(self, batch):
+        """Recursively device_put numeric leaves with batch sharding;
+        drop host-only metadata (strings). Handles nested per-task
+        batches from CombinedLoader."""
         sh = batch_sharding(self.mesh)
-        return {k: jax.device_put(v, sh) for k, v in batch.items()
-                if self._is_device_array(v)}
+
+        def rec(node):
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    r = rec(v)
+                    if r is not None:
+                        out[k] = r
+                return out
+            if self._is_device_array(node):
+                return jax.device_put(node, sh)
+            return None
+
+        return rec(batch)
 
     def fit(self, state=None):
         task = self.task
