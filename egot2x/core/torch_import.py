@@ -1,0 +1,316 @@
+"""PyTorch → JAX checkpoint translation.
+
+Loads the reference's released checkpoints (``pretrained_models/*.pth``,
+``egot2_checkpoints/*.ckpt`` — README.md:43,106,178) and rewrites their
+state_dicts into egot2x variable trees for bit-parity evaluation
+(BASELINE.json north star).
+
+Tensor layout transforms:
+  * Conv2d  (O, I, H, W)      → HWIO (H, W, I, O)
+  * Conv3d  (O, I, T, H, W)   → (T, H, W, I, O)
+  * Conv1d  (O, I, K)         → (K, I, O)
+  * depthwise Conv1d (C,1,K)  → (K, 1, C)
+  * Linear  (out, in)         → (in, out)
+  * BatchNorm weight/bias     → batch_stats-adjacent scale/bias;
+    running_mean/var           → batch_stats mean/var
+  * LSTM weight_ih/hh (4H, D) → (D, 4H) (gate order preserved)
+  * MultiheadAttention in_proj (3D, D) → split q/k/v (D, D) kernels
+
+Name maps cover the reference model families: torchvision-style
+ResNet-18 (+fc2), BiLSTM heads, ResNetSE, TalkNet, PySlowFast
+ResNet3D/SlowFast (s{k}.pathway{p}_res{i}.branch2.{a,b,c}...), and the
+Lightning prefix strippers (``model.`` / ``module.`` —
+HHI/utils/utils.py:21-47, HOI/utils/multitask/load_model.py:10-116).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---- tensor transforms --------------------------------------------------
+
+def t_conv2d(w):  # (O, I, H, W) → (H, W, I, O)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t_conv3d(w):  # (O, I, T, H, W) → (T, H, W, I, O)
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def t_conv1d(w):  # (O, I, K) → (K, I, O)
+    return np.transpose(w, (2, 1, 0))
+
+
+def t_depthwise_conv1d(w):  # (C, 1, K) → (K, 1, C)
+    return np.transpose(w, (2, 1, 0))
+
+
+def t_linear(w):  # (out, in) → (in, out)
+    return np.transpose(w, (1, 0))
+
+
+def t_id(w):
+    return np.asarray(w)
+
+
+# ---- state dict utilities ----------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint file to {name: np.ndarray}."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "model_state", "model"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                ckpt = ckpt[key]
+                break
+    return {k: v.detach().cpu().numpy() for k, v in ckpt.items()
+            if hasattr(v, "detach")}
+
+
+def strip_prefix(state: Dict[str, np.ndarray],
+                 prefixes=("module.", "model.")) -> Dict[str, np.ndarray]:
+    """Strip one leading wrapper module name (reference loaders strip the
+    first dotted component, HHI/utils/utils.py:28-40)."""
+    out = {}
+    for k, v in state.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        out[k] = v
+    return out
+
+
+def _set_path(tree: Dict, path: List[str], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _bn_rule(src: str, dst: List[str]):
+    """Expand one BN mapping into the four leaf rules."""
+    return [
+        (src + ".weight", ("params", dst + ["scale"]), t_id),
+        (src + ".bias", ("params", dst + ["bias"]), t_id),
+        (src + ".running_mean", ("batch_stats", dst + ["mean"]), t_id),
+        (src + ".running_var", ("batch_stats", dst + ["var"]), t_id),
+    ]
+
+
+def _conv_rule(src, dst, transform=t_conv2d, bias=False):
+    rules = [(src + ".weight", ("params", dst + ["kernel"]), transform)]
+    if bias:
+        rules.append((src + ".bias", ("params", dst + ["bias"]), t_id))
+    return rules
+
+
+def _linear_rule(src, dst):
+    return [
+        (src + ".weight", ("params", dst + ["kernel"]), t_linear),
+        (src + ".bias", ("params", dst + ["bias"]), t_id),
+    ]
+
+
+def apply_rules(state: Dict[str, np.ndarray], rules) -> Dict[str, Any]:
+    """rules: list of (src_name, (collection, dst_path), transform)."""
+    out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    used = set()
+    for src, (coll, dst), transform in rules:
+        if src in state:
+            _set_path(out[coll], list(dst), transform(state[src]))
+            used.add(src)
+    out["unused"] = sorted(set(state) - used)
+    return out
+
+
+# ---- model family maps --------------------------------------------------
+
+def resnet18_rules(src_prefix: str, dst_prefix: List[str]):
+    """torchvision resnet18 (+fc2) → egot2x ResNet2D."""
+    p = src_prefix + "." if src_prefix else ""
+    rules = []
+    rules += _conv_rule(p + "conv1", dst_prefix + ["conv1"])
+    rules += _bn_rule(p + "bn1", dst_prefix + ["bn1"])
+    for stage in range(1, 5):
+        for block in range(2):
+            sp = f"{p}layer{stage}.{block}"
+            dp = dst_prefix + [f"layer{stage}_{block}"]
+            rules += _conv_rule(sp + ".conv1", dp + ["conv1"])
+            rules += _bn_rule(sp + ".bn1", dp + ["bn1"])
+            rules += _conv_rule(sp + ".conv2", dp + ["conv2"])
+            rules += _bn_rule(sp + ".bn2", dp + ["bn2"])
+            rules += _conv_rule(sp + ".downsample.0", dp + ["downsample_conv"])
+            rules += _bn_rule(sp + ".downsample.1", dp + ["downsample_bn"])
+    rules += _linear_rule(p + "fc", dst_prefix + ["fc"])
+    rules += _linear_rule(p + "fc2", dst_prefix + ["fc2"])
+    return rules
+
+
+def bilstm_rules(src_prefix: str, dst_prefix: List[str], num_layers: int = 2):
+    rules = []
+    p = src_prefix + "." if src_prefix else ""
+    for layer in range(num_layers):
+        for sfx, tag in (("", "fwd"), ("_reverse", "bwd")):
+            dp = dst_prefix + [f"l{layer}_{tag}"]
+            rules += [
+                (f"{p}weight_ih_l{layer}{sfx}", ("params", dp + ["w_ih"]), t_linear),
+                (f"{p}weight_hh_l{layer}{sfx}", ("params", dp + ["w_hh"]), t_linear),
+                (f"{p}bias_ih_l{layer}{sfx}", ("params", dp + ["b_ih"]), t_id),
+                (f"{p}bias_hh_l{layer}{sfx}", ("params", dp + ["b_hh"]), t_id),
+            ]
+    return rules
+
+
+def lam_baseline_rules():
+    """Reference LAM BaselineLSTM state_dict → egot2x BaselineLSTM tree
+    (trunk/base_model + trunk/lstm + last_layer1/2)."""
+    rules = []
+    rules += resnet18_rules("base_model", ["trunk", "base_model"])
+    rules += bilstm_rules("lstm", ["trunk", "lstm"])
+    rules += _linear_rule("last_layer1", ["last_layer1"])
+    rules += _linear_rule("last_layer2", ["last_layer2"])
+    return rules
+
+
+def resnetse_rules(src_prefix: str, dst_prefix: List[str]):
+    p = src_prefix + "." if src_prefix else ""
+    rules = []
+    rules += _conv_rule(p + "conv1", dst_prefix + ["conv1"], bias=True)
+    rules += _bn_rule(p + "bn1", dst_prefix + ["bn1"])
+    for stage, blocks in enumerate([2, 2, 2, 2], start=1):
+        for b in range(blocks):
+            sp = f"{p}layer{stage}.{b}"
+            dp = dst_prefix + [f"layer{stage}_{b}"]
+            rules += _conv_rule(sp + ".conv1", dp + ["conv1"])
+            rules += _bn_rule(sp + ".bn1", dp + ["bn1"])
+            rules += _conv_rule(sp + ".conv2", dp + ["conv2"])
+            rules += _bn_rule(sp + ".bn2", dp + ["bn2"])
+            rules += _linear_rule(sp + ".se.fc.0", dp + ["se", "fc0"])
+            rules += _linear_rule(sp + ".se.fc.2", dp + ["se", "fc1"])
+            rules += _conv_rule(sp + ".downsample.0", dp + ["downsample_conv"])
+            rules += _bn_rule(sp + ".downsample.1", dp + ["downsample_bn"])
+    # ASP attention: Conv1d k=1 ≡ Dense
+    rules += [
+        (p + "attention.0.weight", ("params", dst_prefix + ["att_fc0", "kernel"]),
+         lambda w: np.transpose(w[:, :, 0], (1, 0))),
+        (p + "attention.0.bias", ("params", dst_prefix + ["att_fc0", "bias"]), t_id),
+        (p + "attention.3.weight", ("params", dst_prefix + ["att_fc1", "kernel"]),
+         lambda w: np.transpose(w[:, :, 0], (1, 0))),
+        (p + "attention.3.bias", ("params", dst_prefix + ["att_fc1", "bias"]), t_id),
+    ]
+    rules += _bn_rule(p + "attention.2", dst_prefix + ["att_bn"])
+    rules += _linear_rule(p + "fc", dst_prefix + ["fc"])
+    return rules
+
+
+def ttm_baseline_rules():
+    rules = []
+    rules += resnet18_rules("video_encoder", ["trunk", "video_encoder"])
+    rules += bilstm_rules("lstm", ["trunk", "lstm"])
+    rules += resnetse_rules("audio_encoder", ["trunk", "audio_encoder"])
+    rules += _linear_rule("last_layer1", ["last_layer1"])
+    rules += _linear_rule("last_layer2", ["last_layer2"])
+    return rules
+
+
+def mha_rules(src_prefix: str, dst_prefix: List[str]):
+    """torch MultiheadAttention → our MultiHeadAttention q/k/v/out."""
+
+    def split(idx):
+        def f(w):
+            d = w.shape[0] // 3
+            return t_linear(w[idx * d:(idx + 1) * d])
+
+        return f
+
+    def split_b(idx):
+        def f(b):
+            d = b.shape[0] // 3
+            return b[idx * d:(idx + 1) * d]
+
+        return f
+
+    p = src_prefix + "."
+    rules = []
+    for i, name in enumerate(["q_proj", "k_proj", "v_proj"]):
+        rules.append((p + "in_proj_weight",
+                      ("params", dst_prefix + [name, "kernel"]), split(i)))
+        rules.append((p + "in_proj_bias",
+                      ("params", dst_prefix + [name, "bias"]), split_b(i)))
+    rules += _linear_rule(p + "out_proj", dst_prefix + ["out_proj"])
+    return rules
+
+
+def resnet3d_rules(src_prefix: str, dst_prefix: List[str],
+                   stage_blocks=(3, 4, 6, 3), pathway: int = 0,
+                   pathway_suffix: str = ""):
+    """PySlowFast ResNet3D names → egot2x ResNet3D (single pathway)."""
+    p = src_prefix + "." if src_prefix else ""
+    rules = []
+    rules += _conv_rule(f"{p}s1.pathway{pathway}_stem.conv",
+                        dst_prefix + [f"s1{pathway_suffix}", "conv"], t_conv3d)
+    rules += _bn_rule(f"{p}s1.pathway{pathway}_stem.bn",
+                      dst_prefix + [f"s1{pathway_suffix}", "bn"])
+    for si, blocks in enumerate(stage_blocks, start=2):
+        for b in range(blocks):
+            sp = f"{p}s{si}.pathway{pathway}_res{b}"
+            dp = dst_prefix + [f"s{si}{pathway_suffix}", f"block{b}"]
+            rules += _conv_rule(sp + ".branch1", dp + ["branch1"], t_conv3d)
+            rules += _bn_rule(sp + ".branch1_bn", dp + ["branch1_bn"])
+            for leaf in ("a", "b", "c"):
+                rules += _conv_rule(sp + f".branch2.{leaf}",
+                                    dp + ["branch2", leaf], t_conv3d)
+                rules += _bn_rule(sp + f".branch2.{leaf}_bn",
+                                  dp + ["branch2", f"{leaf}_bn"])
+    return rules
+
+
+def slowfast_rules(src_prefix: str, dst_prefix: List[str],
+                   stage_blocks=(3, 4, 6, 3)):
+    rules = []
+    rules += resnet3d_rules(src_prefix, dst_prefix, stage_blocks, 0, "_slow")
+    rules += resnet3d_rules(src_prefix, dst_prefix, stage_blocks, 1, "_fast")
+    p = src_prefix + "." if src_prefix else ""
+    for si in range(1, 5):
+        rules += _conv_rule(f"{p}s{si}_fuse.conv_f2s",
+                            dst_prefix + [f"s{si}_fuse", "conv_f2s"], t_conv3d)
+        rules += _bn_rule(f"{p}s{si}_fuse.bn", dst_prefix + [f"s{si}_fuse", "bn"])
+    return rules
+
+
+def pnr_keyframe_rules():
+    rules = resnet3d_rules("", ["trunk"])
+    rules += _linear_rule("Keyframe_localisation_head.projection",
+                          ["head", "projection"])
+    return rules
+
+
+def oscc_rules():
+    rules = resnet3d_rules("", ["trunk"])
+    rules += _linear_rule("State_detection_head.projection",
+                          ["head", "projection"])
+    return rules
+
+
+# ---- entry point --------------------------------------------------------
+
+FAMILIES: Dict[str, Callable[[], list]] = {
+    "lam_baseline": lam_baseline_rules,
+    "ttm_baseline": ttm_baseline_rules,
+    "pnr_keyframe": pnr_keyframe_rules,
+    "oscc": oscc_rules,
+}
+
+
+def import_torch_checkpoint(path: str, family: str) -> Dict[str, Any]:
+    """Translate a reference checkpoint into {params, batch_stats, unused}."""
+    state = strip_prefix(load_torch_state_dict(path))
+    rules = FAMILIES[family]()
+    return apply_rules(state, rules)

@@ -1,0 +1,165 @@
+"""Golden parity tests for the torch→JAX checkpoint translator: build the
+reference architectures in raw torch.nn, translate their state_dicts, and
+compare forward outputs numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from egot2x.core.torch_import import (  # noqa: E402
+    apply_rules,
+    lam_baseline_rules,
+    mha_rules,
+    resnet18_rules,
+    strip_prefix,
+)
+
+
+class TorchBasicBlock(tnn.Module):
+    """torchvision BasicBlock layout (reference HHI/models/lam/resnet.py)."""
+
+    def __init__(self, inp, out, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inp, out, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(out)
+        self.relu = tnn.ReLU()
+        self.conv2 = tnn.Conv2d(out, out, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(out)
+        self.downsample = None
+        if stride != 1 or inp != out:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inp, out, 1, stride, bias=False), tnn.BatchNorm2d(out))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + idt)
+
+
+class TorchResNet18(tnn.Module):
+    def __init__(self, num_classes=256):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        widths = [64, 128, 256, 512]
+        for i, w in enumerate(widths):
+            stride = 1 if i == 0 else 2
+            inp = 64 if i == 0 else widths[i - 1]
+            setattr(self, f"layer{i + 1}", tnn.Sequential(
+                TorchBasicBlock(inp, w, stride), TorchBasicBlock(w, w)))
+        self.avgpool = tnn.AdaptiveAvgPool2d(1)
+        self.fc = tnn.Linear(512, 1000)
+        self.fc2 = tnn.Linear(1000, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for i in range(1, 5):
+            x = getattr(self, f"layer{i}")(x)
+        x = self.avgpool(x).flatten(1)
+        return self.fc2(self.fc(x))
+
+
+def _randomize_bn_stats(model, rng):
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.standard_normal(m.running_mean.shape).astype(np.float32) * 0.1))
+                m.running_var.copy_(torch.from_numpy(
+                    rng.uniform(0.5, 1.5, m.running_var.shape).astype(np.float32)))
+
+
+def test_resnet18_import_forward_parity(rng):
+    from egot2x.nn.resnet2d import resnet18
+
+    tmodel = TorchResNet18(num_classes=256)
+    _randomize_bn_stats(tmodel, rng)
+    tmodel.eval()
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    translated = apply_rules(state, resnet18_rules("", []))
+    # every torch leaf except BN num_batches_tracked must be consumed
+    leftovers = [k for k in translated["unused"] if "num_batches_tracked" not in k]
+    assert leftovers == [], leftovers
+
+    model = resnet18(num_classes=256)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    init_vars = model.init(jax.random.key(0), jnp.asarray(x))
+    variables = {"params": translated["params"],
+                 "batch_stats": translated["batch_stats"]}
+    # tree structures must match what init produced
+    a = sorted(jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_leaves_with_path(init_vars["params"]))
+    b = sorted(jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_leaves_with_path(translated["params"]))
+    assert a == b
+
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    theirs = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_lam_baseline_import_forward_parity(rng):
+    """Full reference LAM BaselineLSTM vs translated egot2x model."""
+    from egot2x.core.registry import build_model
+    import egot2x.models.lam  # noqa
+
+    class TorchLam(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.base_model = TorchResNet18(256)
+            self.lstm = tnn.LSTM(256, 256, bidirectional=True, num_layers=2,
+                                 batch_first=True)
+            self.last_layer1 = tnn.Linear(512, 128)
+            self.last_layer2 = tnn.Linear(128, 2)
+
+        def forward(self, x):
+            n, d = x.shape[0], x.shape[1]
+            feats = self.base_model(x.reshape(n * d, *x.shape[2:]))
+            feats = feats.reshape(n, d, 256)
+            out, _ = self.lstm(feats)
+            return self.last_layer2(self.last_layer1(out[:, 3]))
+
+    tmodel = TorchLam()
+    _randomize_bn_stats(tmodel, rng)
+    tmodel.eval()
+    state = strip_prefix({k: v.detach().numpy()
+                          for k, v in tmodel.state_dict().items()})
+    translated = apply_rules(state, lam_baseline_rules())
+    leftovers = [k for k in translated["unused"] if "num_batches_tracked" not in k]
+    assert leftovers == [], leftovers
+
+    model = build_model("BaselineLSTM")
+    clip = rng.standard_normal((2, 7, 64, 64, 3)).astype(np.float32)
+    variables = {"params": translated["params"],
+                 "batch_stats": translated["batch_stats"]}
+    ours = np.asarray(model.apply(variables, jnp.asarray(clip)))
+    theirs = tmodel(
+        torch.from_numpy(clip).permute(0, 1, 4, 2, 3)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_mha_import_parity(rng):
+    from egot2x.nn.common import MultiHeadAttention
+
+    d, h = 32, 4
+    tmha = tnn.MultiheadAttention(d, h, batch_first=True)
+    tmha.eval()
+    state = {("attn." + k): v.detach().numpy()
+             for k, v in tmha.state_dict().items()}
+    translated = apply_rules(state, mha_rules("attn", []))
+    assert translated["unused"] == []
+
+    model = MultiHeadAttention(d, h)
+    x = rng.standard_normal((2, 6, d)).astype(np.float32)
+    ours = np.asarray(model.apply({"params": translated["params"]},
+                                  jnp.asarray(x), jnp.asarray(x), jnp.asarray(x)))
+    theirs = tmha(torch.from_numpy(x), torch.from_numpy(x),
+                  torch.from_numpy(x))[0].detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
