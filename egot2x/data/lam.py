@@ -160,7 +160,37 @@ class LamClipDataset(Dataset):
     def __len__(self) -> int:
         return len(self.kframes)
 
+    def _load_clip_native(self, index: int):
+        """Batched C++ decode+crop+resize for the 7-frame window
+        (egot2x.native); returns None when any frame needs the python
+        fallback path (missing frame → zero/edge padding)."""
+        from egot2x import native
+
+        uid, trackid, frameid, _, _ = self.imgs[self.kframes[index]]
+        half = self.window // 2
+        paths, bboxes = [], []
+        for i in range(frameid - half, frameid + half + 1):
+            img_path = os.path.join(self.img_dir, uid, f"img_{i:05d}.jpg")
+            if i not in self.img_group[uid][trackid] or not os.path.exists(img_path):
+                return None
+            x1, y1, x2, y2 = self.img_group[uid][trackid][i]
+            s = self.scale
+            paths.append(img_path)
+            bboxes.append([(1.0 - s) * x1, (1.0 - s) * y1,
+                           (1.0 + s) * x2, (1.0 + s) * y2])
+        return native.decode_crop_resize(paths, np.asarray(bboxes, np.float32),
+                                         self.img_size)
+
     def _load_clip(self, index: int) -> np.ndarray:
+        try:
+            from egot2x import native
+
+            if native.AVAILABLE:
+                clip = self._load_clip_native(index)
+                if clip is not None:
+                    return clip
+        except Exception:
+            pass
         uid, trackid, frameid, _, _ = self.imgs[self.kframes[index]]
         half = self.window // 2
         frames = []
