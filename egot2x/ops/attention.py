@@ -17,6 +17,16 @@ import jax
 import jax.numpy as jnp
 
 
+FLASH_MIN_TOKENS = 2048  # q_len · k_len threshold for the Pallas path
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def dot_product_attention(
     q: jax.Array,  # (B, T, H, Dh)
     k: jax.Array,  # (B, S, H, Dh)
@@ -24,7 +34,22 @@ def dot_product_attention(
     mask: Optional[jax.Array] = None,  # broadcastable to (B, H, T, S), True=keep
     is_causal: bool = False,
 ) -> jax.Array:
-    """Multi-head scaled dot-product attention, (B, T, H, Dh) layout."""
+    """Multi-head scaled dot-product attention, (B, T, H, Dh) layout.
+
+    Long unmasked sequences on TPU route to the Pallas flash kernel
+    (egot2x.ops.pallas_attention); everything else uses the XLA path.
+    """
+    t, s = q.shape[1], k.shape[1]
+    if (mask is None and not is_causal and _on_tpu()
+            and t >= FLASH_MIN_TOKENS and s >= FLASH_MIN_TOKENS):
+        from egot2x.ops.pallas_attention import flash_attention
+
+        b, _, h, dh = q.shape
+        fq = jnp.swapaxes(q, 1, 2).reshape(b * h, t, dh)
+        fk = jnp.swapaxes(k, 1, 2).reshape(b * h, s, dh)
+        fv = jnp.swapaxes(v, 1, 2).reshape(b * h, s, dh)
+        out = flash_attention(fq, fk, fv)
+        return jnp.swapaxes(out.reshape(b, h, t, dh), 1, 2)
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
     # (B, H, T, S) logits in f32 for numerically stable softmax.

@@ -160,3 +160,18 @@ def test_decoder_causal_masking(rng):
     out2 = model.apply(variables, tgt2, mem)
     np.testing.assert_allclose(out1[:, 0], out2[:, 0], rtol=1e-4, atol=1e-5)
     assert not np.allclose(out1[:, -1], out2[:, -1])
+
+
+def test_s2d_stem_exact(rng):
+    from egot2x.nn.resnet2d import _s2d_stem_conv
+
+    for size in (224, 65, 64, 33):
+        x = jnp.asarray(rng.standard_normal((1, size, size, 3)), dtype=jnp.float32)
+        k = jnp.asarray(rng.standard_normal((7, 7, 3, 64)), dtype=jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fused = _s2d_stem_conv(x, k, jnp.float32)
+        assert ref.shape == fused.shape
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                                   rtol=1e-4, atol=1e-4)
