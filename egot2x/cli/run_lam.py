@@ -34,6 +34,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, default="debug")
     p.add_argument("--ckpt", type=str, default="")
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from the last checkpoint")
     p.add_argument("--seed", type=int, default=0)
     # model
     p.add_argument("--model", type=str, default="BaselineLSTM")
@@ -83,7 +85,11 @@ def main(argv=None):
             state = mgr.restore(state)
         metrics = trainer.validate(state)
     else:
-        state = trainer.fit(state=None)
+        resume_dir = None
+        if args.resume:
+            resume_dir = os.path.join("logs", "lam", args.output_dir,
+                                      "checkpoints")
+        state = trainer.fit(state=None, resume_from=resume_dir)
         metrics = trainer.validate(state)
     print({k: round(v, 4) for k, v in metrics.items()})
     return metrics

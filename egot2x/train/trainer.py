@@ -131,7 +131,10 @@ class Trainer:
 
         return rec(batch)
 
-    def fit(self, state=None):
+    def fit(self, state=None, resume_from: Optional[str] = None):
+        """Train; ``resume_from`` restores the 'last' checkpoint of a
+        Trainer checkpoint dir and continues from its next epoch
+        (reference resume_from_checkpoint, HOI/scripts/pnr/train.py:57)."""
         task = self.task
         if state is None:
             state = task.build_state(jax.random.key(self.seed))
@@ -141,10 +144,18 @@ class Trainer:
             task.checkpoint_metric,
             task.checkpoint_mode,
         )
+        start_epoch = 0
+        if resume_from:
+            mgr = CheckpointManager(resume_from, task.checkpoint_metric,
+                                    task.checkpoint_mode)
+            state = mgr.restore(state)
+            with open(os.path.join(resume_from, "last.json")) as f:
+                start_epoch = json.load(f)["epoch"] + 1
+            logger.info(f"resumed from {resume_from} at epoch {start_epoch}")
         loader = task.train_loader()
         epochs = 1 if self.fast_dev_run else self.max_epochs
         rng = jax.random.key(self.seed + 1)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, max(epochs, start_epoch)):
             loader.set_epoch(epoch)
             t0 = time.time()
             n_seen = 0

@@ -388,14 +388,28 @@ class Action2Keyframe(_HOIStreamMixin):
         return nn.Dense(16, dtype=self.dtype, name="fc1")(nn.relu(feat))
 
 
+class _DupFeatHead(nn.Module):
+    """cat(feat, feat) → fc1(2·8192→512) → relu → fc2 (the reference's
+    dimension-consistency trick, video_model_transfer.py:133-216)."""
+
+    num_classes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat):
+        feat = jnp.concatenate([feat, feat], axis=1)
+        out = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc1")(feat))
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(out)
+
+
 @MODEL_REGISTRY.register(name="Keyframe2State")
 class Keyframe2State(_HOIStreamMixin):
-    """PNR tokens → OSCC logits (video_model_transfer.py)."""
+    """PNR tokens → OSCC logits (video_model_transfer.py:133-150)."""
 
     @nn.compact
     def __call__(self, frames, pathways=None, train: bool = False):
         tokens = self._pnr_tokens(frames).mean(axis=1)
-        return nn.Dense(2, dtype=self.dtype, name="fc1")(nn.relu(tokens))
+        return _DupFeatHead(2, dtype=self.dtype, name="head")(tokens)
 
 
 @MODEL_REGISTRY.register(name="State2Keyframe")
@@ -403,7 +417,70 @@ class State2Keyframe(_HOIStreamMixin):
     @nn.compact
     def __call__(self, frames, pathways=None, train: bool = False):
         tokens = self._oscc_tokens(frames).mean(axis=1)
-        return nn.Dense(16, dtype=self.dtype, name="fc1")(nn.relu(tokens))
+        return _DupFeatHead(16, dtype=self.dtype, name="head")(tokens)
+
+
+@MODEL_REGISTRY.register(name="FinetuneState")
+class FinetuneState(_HOIStreamMixin):
+    """Frozen OSCC features + trainable linear head (:175-193)."""
+
+    @nn.compact
+    def __call__(self, frames, pathways=None, train: bool = False):
+        tokens = self._oscc_tokens(frames).mean(axis=1)
+        return _DupFeatHead(2, dtype=self.dtype, name="head")(tokens)
+
+
+@MODEL_REGISTRY.register(name="FinetuneKeyframe")
+class FinetuneKeyframe(_HOIStreamMixin):
+    @nn.compact
+    def __call__(self, frames, pathways=None, train: bool = False):
+        tokens = self._pnr_tokens(frames).mean(axis=1)
+        return _DupFeatHead(16, dtype=self.dtype, name="head")(tokens)
+
+
+@MODEL_REGISTRY.register(name="TaskFusionMFTransformer2TaskPnr")
+class TaskFusionMFTransformer2TaskPnr(_HOIStreamMixin):
+    """PNR+OSCC 32-token mid fusion (reference TaskFusionMFTransformer
+    / TaskFusionMFTransformerDropout, video_model_transfer.py:45-107)."""
+
+    target: str = "keyframe"
+    feature_dim: int = 128
+    num_layers: int = 1
+    num_heads: int = 8
+    feat_dropout: float = 0.5
+    transformer_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, frames, pathways=None, train: bool = False):
+        det = not train
+        dp = nn.Dropout(self.feat_dropout)
+        pnr = dp(nn.Dense(self.feature_dim, dtype=self.dtype, name="proj1")(
+            self._pnr_tokens(frames)), deterministic=det)
+        oscc = dp(nn.Dense(self.feature_dim, dtype=self.dtype, name="proj2")(
+            self._oscc_tokens(frames)), deterministic=det)
+        tokens = jnp.concatenate([pnr, oscc], axis=1)
+        pooled = _TokenFusionCore(
+            tokens.shape[1], self.feature_dim, self.num_heads, self.num_layers,
+            self.transformer_dropout, dtype=self.dtype, name="core",
+        )(tokens, deterministic=det)
+        n_out = 16 if self.target == "keyframe" else 2
+        return nn.Dense(n_out, dtype=self.dtype, name="head_fc")(pooled)
+
+
+@MODEL_REGISTRY.register(name="TaskFusionLFLinearPnr")
+class TaskFusionLFLinearPnr(_HOIStreamMixin):
+    """PNR+OSCC late fusion (video_model_transfer.py:109-130)."""
+
+    target: str = "keyframe"
+
+    @nn.compact
+    def __call__(self, frames, pathways=None, train: bool = False):
+        pnr = self._pnr_tokens(frames).mean(axis=1)
+        oscc = self._oscc_tokens(frames).mean(axis=1)
+        feat = jnp.concatenate([pnr, oscc], axis=1)
+        out = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc1")(feat))
+        n_out = 16 if self.target == "keyframe" else 2
+        return nn.Dense(n_out, dtype=self.dtype, name="fc2")(out)
 
 
 @MODEL_REGISTRY.register(name="Keyframe2Action")
