@@ -1,0 +1,66 @@
+"""STA (vestigial surface): RoIAlign, RoI head model, box AP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egot2x.metrics.sta import box_ap, box_iou
+from egot2x.ops.roi_align import roi_align
+
+
+def test_roi_align_constant_region():
+    # a feature map constant inside the box → every bin equals that value
+    feat = jnp.zeros((1, 16, 16, 2))
+    feat = feat.at[:, 4:12, 4:12, :].set(3.0)
+    boxes = jnp.asarray([[0, 5.0, 5.0, 11.0, 11.0]])
+    out = roi_align(feat, boxes, resolution=4, spatial_scale=1.0)
+    assert out.shape == (1, 4, 4, 2)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_roi_align_matches_torchvision():
+    tv = pytest.importorskip("torchvision")
+    import torch
+
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((1, 3, 20, 24)).astype(np.float32)  # NCHW
+    boxes = np.asarray([[0, 2.0, 3.0, 18.0, 15.0],
+                        [0, 0.5, 0.5, 10.0, 10.0]], dtype=np.float32)
+    ref = tv.ops.roi_align(torch.from_numpy(feat), torch.from_numpy(boxes),
+                           output_size=5, spatial_scale=1.0, sampling_ratio=1,
+                           aligned=True).numpy()  # (N, C, 5, 5)
+    ours = roi_align(jnp.asarray(np.transpose(feat, (0, 2, 3, 1))),
+                     jnp.asarray(boxes), resolution=5, spatial_scale=1.0)
+    np.testing.assert_allclose(np.asarray(ours),
+                               np.transpose(ref, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sta_model_shapes(rng):
+    from egot2x.core.registry import build_model
+    import egot2x.models.sta  # noqa
+
+    model = build_model("ShortTermAnticipationSlowFast", num_verbs=7, alpha=4)
+    slow = jnp.asarray(rng.standard_normal((1, 2, 64, 64, 3)), dtype=jnp.float32)
+    fast = jnp.asarray(rng.standard_normal((1, 8, 64, 64, 3)), dtype=jnp.float32)
+    boxes = jnp.asarray([[0, 4.0, 4.0, 40.0, 40.0], [0, 8.0, 8.0, 60.0, 50.0]])
+    v = model.init(jax.random.key(0), [slow, fast], boxes, train=False)
+    verb, ttc = model.apply(v, [slow, fast], boxes, train=False)
+    assert verb.shape == (2, 7)
+    np.testing.assert_allclose(np.asarray(verb).sum(-1), 1.0, rtol=1e-4)
+    assert (np.asarray(ttc) >= 0).all()
+
+
+def test_box_iou_and_ap():
+    a = np.array([[0, 0, 10, 10.0]])
+    b = np.array([[5, 5, 15, 15.0], [0, 0, 10, 10.0]])
+    iou = box_iou(a, b)[0]
+    assert abs(iou[1] - 1.0) < 1e-9
+    assert abs(iou[0] - 25.0 / 175.0) < 1e-9
+    # perfect detector → AP 1
+    ap = box_ap([b], [np.array([0.9, 0.8])], [b])
+    assert ap == 1.0
+    # detector that misses everything → AP 0
+    ap0 = box_ap([a], [np.array([0.9])], [np.array([[50, 50, 60, 60.0]])])
+    assert ap0 == 0.0
