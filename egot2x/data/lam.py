@@ -230,6 +230,68 @@ class LamClipDataset(Dataset):
         }
 
 
+class LamTestDataset(Dataset):
+    """Challenge-test layout (reference TestImagerLoader + make_test_dataset,
+    HHI/dataset/lam/data_loader.py:143-311): <root>/<uid>/<trackid>/
+    <frameid>_<uniqueid>.jpg face crops already at 224; 7-frame windows
+    around each frame with edge padding."""
+
+    def __init__(self, test_path: str, img_size: int = 224, stride: int = 1,
+                 window: int = 7):
+        self.test_path = test_path
+        self.img_size = img_size
+        self.window = window
+        self.items = []  # (uid, trackid, uniqueid, frameid)
+        self.track_files: Dict[tuple, Dict[int, str]] = {}
+        for uid in sorted(os.listdir(test_path)):
+            udir = os.path.join(test_path, uid)
+            if not os.path.isdir(udir):
+                continue
+            for trackid in sorted(os.listdir(udir)):
+                tdir = os.path.join(udir, trackid)
+                if not os.path.isdir(tdir):
+                    continue
+                files = {}
+                for idx, fname in enumerate(sorted(os.listdir(tdir))):
+                    parts = os.path.splitext(fname)[0].split("_")
+                    if len(parts) < 2:
+                        continue
+                    frameid = int(parts[0])
+                    files[frameid] = os.path.join(tdir, fname)
+                    if idx % stride == 0:
+                        self.items.append((uid, trackid, parts[1], frameid))
+                self.track_files[(uid, trackid)] = files
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int):
+        uid, trackid, uniqueid, frameid = self.items[index]
+        files = self.track_files[(uid, trackid)]
+        half = self.window // 2
+        s = self.img_size
+        frames = []
+        need_pad = False
+        for i in range(frameid - half, frameid + half + 1):
+            if i in files:
+                img = cv2.imread(files[i])
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                if img.shape[:2] != (s, s):
+                    img = cv2.resize(img, (s, s))
+                frames.append(img)
+            else:
+                frames.append(np.zeros((s, s, 3), dtype=np.uint8))
+                need_pad = True
+        video = np.stack(frames)
+        if need_pad:
+            video = pad_video(video)
+        return {
+            "frames": normalize_frames(video),
+            "uid": f"{uid}:{uniqueid}:{trackid}",
+            "label": np.int64(0),  # unlabeled test split
+        }
+
+
 class LamSeqDataset(LamClipDataset):
     """Token-sequence targets for EgoT2-g (reference NewImagerSeqLoader,
     data_loader.py:376-389): target = [<lam>, <label>, </s>]."""

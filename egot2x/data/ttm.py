@@ -182,6 +182,95 @@ class TtmSegmentDataset(BucketedDataset):
         }
 
 
+class TtmTestDataset(BucketedDataset):
+    """Challenge-test layout (reference test_ImagerLoader,
+    HHI/dataset/ttm/test_loader.py:76-180): <root>/<sid>/audio/aud.wav +
+    <root>/<sid>/face/*.jpg with a seg_info.json giving frame counts and
+    frame lists; long segments chunked like training."""
+
+    def __init__(self, data_path: str, seg_info_path: str,
+                 img_size: int = 224, sample_rate: int = 16000,
+                 min_frames: int = 15, max_frames: int = 150):
+        self.data_path = data_path
+        self.img_size = img_size
+        self.sample_rate = sample_rate
+        with open(seg_info_path) as f:
+            self.seg_info = json.load(f)
+        self.segments = []
+        for sid in sorted(os.listdir(data_path)):
+            if sid not in self.seg_info:
+                continue
+            n = int(self.seg_info[sid]["frame_num"])
+            start, end = 0, n - 1
+            if n > max_frames:
+                for i in range(int(n / max_frames)):
+                    s = start + i * max_frames
+                    e = min(end, s + max_frames)
+                    if e - s + 1 >= min_frames:
+                        self.segments.append([sid, s, e])
+            else:
+                self.segments.append([sid, start, end])
+        self._wave_cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self):
+        return len(self.segments)
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.asarray([e - s + 1 for _, s, e in self.segments])
+
+    def _read_wave(self, sid: str) -> np.ndarray:
+        if sid not in self._wave_cache:
+            from scipy.io import wavfile
+
+            sr, wave = wavfile.read(
+                os.path.join(self.data_path, sid, "audio", "aud.wav"))
+            if wave.dtype.kind == "i":
+                wave = wave.astype(np.float32) / np.iinfo(wave.dtype).max
+            if wave.ndim > 1:
+                wave = wave.mean(axis=1)
+            self._wave_cache[sid] = wave.astype(np.float32)
+        return self._wave_cache[sid]
+
+    def get_item(self, idx: int, n_frames: int) -> Dict:
+        try:
+            import cv2
+        except ImportError:  # pragma: no cover
+            raise RuntimeError("cv2 required")
+        from egot2x.data.lam import normalize_frames
+
+        sid, start, end = self.segments[idx]
+        s = self.img_size
+        frames = np.zeros((n_frames, s, s, 3), dtype=np.uint8)
+        face_dir = os.path.join(self.data_path, sid, "face")
+        frame_list = self.seg_info[sid].get("frame_list", [])
+        if os.path.isdir(face_dir):
+            files = sorted(os.listdir(face_dir))
+            for j, i in enumerate(range(start, min(start + n_frames, end + 1))):
+                if i < len(files):
+                    img = cv2.imread(os.path.join(face_dir, files[i]))
+                    if img is not None:
+                        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                        frames[j] = cv2.resize(img, (s, s))
+        wave = self._read_wave(sid)
+        onset = int(start / FPS * self.sample_rate)
+        n_samples = int(n_frames / FPS * self.sample_rate)
+        audio = wave[onset: onset + n_samples]
+        if len(audio) < n_samples:
+            audio = np.pad(audio, (0, n_samples - len(audio)))
+        fids = frame_list[start: start + n_frames] if frame_list else \
+            list(range(start, start + n_frames))
+        return {
+            "frames": normalize_frames(frames),
+            "audio": normalize_audio(audio),
+            "seg_id": f"{sid}:{start}",
+            "sid": sid,
+            "start": np.int64(start),
+            "end": np.int64(end),
+            "frame_ids": ",".join(str(f) for f in fids),
+        }
+
+
 class TtmSeqDataset(TtmSegmentDataset):
     """EgoT2-g target tokens: [<ttm>, <label>, </s>]."""
 

@@ -146,3 +146,33 @@ def resnet18(num_classes: int = 256, dtype=jnp.float32) -> ResNet2D:
     """ResNet-18 with fc2 → ``num_classes`` (users set 256 for backbones,
     reference HHI/models/lam/model.py:52-54)."""
     return ResNet2D(stage_sizes=(2, 2, 2, 2), num_classes=num_classes, dtype=dtype)
+
+
+class ResNetCAM(nn.Module):
+    """CAM variant (reference HHI/models/lam/resnet.py:162-196): same
+    trunk as :class:`ResNet2D` but exposes the pre-pool feature map for
+    class-activation mapping; head is fc1(512→1000) + fc2(1000→3)."""
+
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    num_classes: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False,
+                 return_feature_map: bool = False):
+        y = _StemConv(64, False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for stage, blocks in enumerate(self.stage_sizes):
+            filters = 64 * (2 ** stage)
+            for b in range(blocks):
+                stride = 2 if stage > 0 and b == 0 else 1
+                y = BasicBlock2D(filters, stride, dtype=self.dtype,
+                                 name=f"layer{stage + 1}_{b}")(y, train=train)
+        if return_feature_map:
+            return y  # (B, H/32, W/32, 512) for CAM
+        y = jnp.mean(y, axis=(1, 2))
+        y = nn.Dense(1000, dtype=self.dtype, name="fc1")(y)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(y)
