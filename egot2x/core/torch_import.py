@@ -299,6 +299,101 @@ def oscc_rules():
     return rules
 
 
+# ---- caffe2 / partial-match loaders -------------------------------------
+
+_C2_PAIRS = [
+    # Caffe2 → PySlowFast naming (reference
+    # HOI/utils/lta/c2_model_loading.py:19-105); nonlocal rules omitted
+    # (EgoT2 configs never enable nonlocal blocks).
+    (r"^t_pool1_subsample_bn_(.*)", r"s1_fuse.bn.\1"),
+    (r"^t_pool1_subsample_(.*)", r"s1_fuse.conv_f2s.\1"),
+    (r"^t_res([0-9]+)_([0-9]+)_branch2c_bn_subsample_bn_(.*)", r"s\1_fuse.bn.\3"),
+    (r"^t_res([0-9]+)_([0-9]+)_branch2c_bn_subsample_(.*)", r"s\1_fuse.conv_f2s.\3"),
+    (r"^res([0-9]+)_([0-9]+)_branch([0-9]+)([a-z])_(.*)",
+     r"s\1.pathway0_res\2.branch\3.\4_\5"),
+    (r"^res_conv1_bn_(.*)", r"s1.pathway0_stem.bn.\1"),
+    (r"^conv1_(.*)", r"s1.pathway0_stem.conv.\1"),
+    (r"^res([0-9]+)_([0-9]+)_branch([0-9]+)_(.*)",
+     r"s\1.pathway0_res\2.branch\3_\4"),
+    (r"^res_conv1_(.*)", r"s1.pathway0_stem.conv.\1"),
+    (r"^t_res([0-9]+)_([0-9]+)_branch([0-9]+)([a-z])_(.*)",
+     r"s\1.pathway1_res\2.branch\3.\4_\5"),
+    (r"^t_res_conv1_bn_(.*)", r"s1.pathway1_stem.bn.\1"),
+    (r"^t_conv1_(.*)", r"s1.pathway1_stem.conv.\1"),
+    (r"^t_res([0-9]+)_([0-9]+)_branch([0-9]+)_(.*)",
+     r"s\1.pathway1_res\2.branch\3_\4"),
+    (r"^t_res_conv1_(.*)", r"s1.pathway1_stem.conv.\1"),
+    (r"pred_(.*)", r"head.projection.\1"),
+    (r"(.*)bn.b\Z", r"\1bn.bias"),
+    (r"(.*)bn.s\Z", r"\1bn.weight"),
+    (r"(.*)bn.rm\Z", r"\1bn.running_mean"),
+    (r"(.*)bn.riv\Z", r"\1bn.running_var"),
+    (r"(.*)[\._]b\Z", r"\1.bias"),
+    (r"(.*)[\._]w\Z", r"\1.weight"),
+]
+
+
+def convert_caffe2_name(name: str) -> str:
+    """Caffe2 blob name → PySlowFast parameter name (reference
+    get_name_convert_func)."""
+    for src, dst in _C2_PAIRS:
+        name = re.sub(src, dst, name)
+    return name
+
+
+def load_caffe2_pickle(path: str) -> Dict[str, np.ndarray]:
+    """Read a caffe2 pickle checkpoint (reference run_lta.py:101-115)
+    and return a PySlowFast-named state dict ready for the
+    resnet3d/slowfast rule maps."""
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    blobs = data.get("blobs", data)
+    out = {}
+    for k, v in blobs.items():
+        if "momentum" in k or not hasattr(v, "shape"):
+            continue
+        out[convert_caffe2_name(k)] = np.asarray(v)
+    return out
+
+
+def partial_match_load(state: Dict[str, np.ndarray], rules,
+                       template_paths) -> Dict[str, Any]:
+    """MViT-style partial-match loading (reference run_lta.py:117-170):
+    apply the rules, then keep only leaves whose destination path exists
+    in ``template_paths`` (set of keystr paths from a model init)."""
+    translated = apply_rules(state, rules)
+    import jax
+
+    def prune(tree, prefix):
+        out = {}
+        for k, v in tree.items():
+            p = prefix + "/" + k
+            if isinstance(v, dict):
+                sub = prune(v, p)
+                if sub:
+                    out[k] = sub
+            elif p in template_paths:
+                out[k] = v
+        return out
+
+    translated["params"] = prune(translated["params"], "params")
+    translated["batch_stats"] = prune(translated["batch_stats"], "batch_stats")
+    return translated
+
+
+def tree_paths(variables: Dict[str, Any]) -> set:
+    """keystr path set ('collection/a/b') for partial_match_load."""
+    import jax
+
+    out = set()
+    for coll, tree in variables.items():
+        for p, _ in jax.tree_util.tree_leaves_with_path(tree):
+            out.add(coll + jax.tree_util.keystr(p).replace("['", "/").replace("']", ""))
+    return out
+
+
 # ---- entry point --------------------------------------------------------
 
 FAMILIES: Dict[str, Callable[[], list]] = {

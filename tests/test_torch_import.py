@@ -163,3 +163,34 @@ def test_mha_import_parity(rng):
     theirs = tmha(torch.from_numpy(x), torch.from_numpy(x),
                   torch.from_numpy(x))[0].detach().numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_caffe2_name_conversion():
+    from egot2x.core.torch_import import convert_caffe2_name as c
+
+    assert c("conv1_w") == "s1.pathway0_stem.conv.weight"
+    assert c("res_conv1_bn_s") == "s1.pathway0_stem.bn.weight"
+    assert c("res4_0_branch1_w") == "s4.pathway0_res0.branch1.weight"
+    assert c("res4_4_branch2c_bn_b") == "s4.pathway0_res4.branch2.c_bn.bias"
+    assert c("t_conv1_w") == "s1.pathway1_stem.conv.weight"
+    assert c("t_res4_5_branch2c_bn_subsample_bn_rm") == "s4_fuse.bn.running_mean"
+    assert c("pred_b") == "head.projection.bias"
+
+
+def test_caffe2_pickle_roundtrip(tmp_path):
+    import pickle
+
+    from egot2x.core.torch_import import load_caffe2_pickle
+
+    blobs = {
+        "conv1_w": np.zeros((64, 3, 1, 7, 7), np.float32),
+        "conv1_w_momentum": np.zeros(1, np.float32),  # dropped
+        "res_conv1_bn_s": np.ones(64, np.float32),
+    }
+    p = tmp_path / "c2.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+    state = load_caffe2_pickle(str(p))
+    assert "s1.pathway0_stem.conv.weight" in state
+    assert "s1.pathway0_stem.bn.weight" in state
+    assert len(state) == 2
