@@ -230,6 +230,54 @@ class LamClipDataset(Dataset):
         }
 
 
+def preprocess_lam_strips(root: str, split: str = "train", stride: int = 1,
+                          scale: float = 0.0, img_size: int = 224) -> str:
+    """Materialize each keyframe's 7-frame face-crop window as a single
+    (7·S, S, 3) jpeg strip (reference NewImagerLoader.process_dataset,
+    data_loader.py:322-364) under <root>/imgs_processed/<uid>/img_%05d.jpg.
+    One jpeg read per item at train time instead of seven."""
+    ds = LamClipDataset(root, split=split, stride=stride, scale=scale,
+                        img_size=img_size)
+    out_root = os.path.join(root, "imgs_processed")
+    for index in range(len(ds)):
+        uid = ds.imgs[ds.kframes[index]][0]
+        out_dir = os.path.join(out_root, uid)
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, f"img_{ds.kframes[index]:05d}.jpg")
+        if os.path.exists(out_path):
+            continue
+        video = ds._load_clip(index)  # (7, S, S, 3) RGB uint8
+        t, h, w, c = video.shape
+        strip = video.reshape(t * h, w, c)
+        cv2.imwrite(out_path, cv2.cvtColor(strip, cv2.COLOR_RGB2BGR))
+    return out_root
+
+
+class LamStripDataset(LamClipDataset):
+    """Reads preprocessed strips (reference NewImagerLoader._get_video,
+    data_loader.py:367-373); falls back to raw decode when a strip is
+    missing."""
+
+    def __init__(self, *args, preprocess: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.strip_root = os.path.join(self.root, "imgs_processed")
+        if preprocess:
+            preprocess_lam_strips(self.root, kwargs.get("split", "train"),
+                                  kwargs.get("stride", 1),
+                                  kwargs.get("scale", 0.0), self.img_size)
+
+    def _load_clip(self, index: int) -> np.ndarray:
+        uid = self.imgs[self.kframes[index]][0]
+        path = os.path.join(self.strip_root, uid,
+                            f"img_{self.kframes[index]:05d}.jpg")
+        if os.path.exists(path):
+            strip = cv2.imread(path)
+            strip = cv2.cvtColor(strip, cv2.COLOR_BGR2RGB)
+            s = self.img_size
+            return strip.reshape(self.window, s, s, 3)
+        return super()._load_clip(index)
+
+
 class LamTestDataset(Dataset):
     """Challenge-test layout (reference TestImagerLoader + make_test_dataset,
     HHI/dataset/lam/data_loader.py:143-311): <root>/<uid>/<trackid>/

@@ -160,3 +160,34 @@ def test_data_parallel_8dev(lam_root):
     # params remain replicated after the update
     leaf = jax.tree_util.tree_leaves(state2.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_trainer_fit_on_8dev_mesh(lam_root, tmp_path):
+    """Full Trainer.fit/validate on the 8-device CPU mesh (data parallel)."""
+    from egot2x.tasks.lam import LookingAtMe
+    from egot2x.train.trainer import Trainer
+
+    cfg = small_cfg(lam_root)
+    cfg.batch_size = 8  # divisible by the 8-device data axis
+    task = LookingAtMe(cfg)
+    trainer = Trainer(task, max_epochs=1, fast_dev_run=True,
+                      default_root_dir=str(tmp_path / "logs"), log_every=1)
+    assert trainer.mesh.devices.size == 8
+    state = trainer.fit()
+    metrics = trainer.validate(state)
+    assert "val_mAP" in metrics
+
+
+def test_strip_preprocessing_roundtrip(lam_root):
+    """Preprocessed strips decode to (nearly) the same clips as raw reads;
+    jpeg recompression allows small pixel differences."""
+    from egot2x.data.lam import LamClipDataset, LamStripDataset, preprocess_lam_strips
+
+    preprocess_lam_strips(lam_root, split="train", stride=1, img_size=32)
+    raw = LamClipDataset(lam_root, split="train", stride=1, img_size=32)
+    strips = LamStripDataset(lam_root, split="train", stride=1, img_size=32)
+    a = raw[0]["frames"]
+    b = strips[0]["frames"]
+    assert a.shape == b.shape
+    # normalized-space tolerance for jpeg recompression
+    assert np.abs(a - b).mean() < 0.2
