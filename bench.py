@@ -13,7 +13,7 @@ import time
 import numpy as np
 
 T = 30          # frames per clip (a mid bucket)
-BATCH = 16
+BATCH = 32  # measured best throughput point on v5e (384 vs 334 clips/s at 16)
 IMG = 224
 SR = 16000
 
@@ -35,14 +35,29 @@ def main():
         jnp.asarray(rng.standard_normal((BATCH, 4 * T, 13)), dtype=jnp.float32),
     )
     # Initialize on CPU (fast local compile) and transfer — on-device init
-    # costs ~5 min through remote compile for this graph.
+    # costs ~5 min through remote compile for this graph. Cache the init
+    # so driver reruns skip it entirely.
+    import os
     import sys
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        cpu_inputs = jax.tree_util.tree_map(
-            lambda x: jax.device_put(np.zeros(x.shape, x.dtype), cpu), inputs)
-        variables = model.init(jax.random.key(0), *cpu_inputs, train=False)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", "variables")
+    if os.path.isdir(cache):
+        from egot2x.core.checkpoint import restore_tree
+
+        variables = restore_tree(cache)
+    else:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            cpu_inputs = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.zeros(x.shape, x.dtype), cpu), inputs)
+            variables = model.init(jax.random.key(0), *cpu_inputs, train=False)
+        try:
+            from egot2x.core.checkpoint import save_tree
+
+            save_tree(cache, jax.device_get(variables))
+        except Exception:
+            pass
     variables = jax.device_put(variables, jax.devices()[0])
     print("init done", file=sys.stderr)
 

@@ -16,7 +16,8 @@ import tempfile
 def build_argparser():
     p = argparse.ArgumentParser(description="Ego4D HOI EgoT2-g (egot2x)")
     p.add_argument("--task", type=str, default="unify6task",
-                   choices=["unify6task"])
+                   choices=["unify6task", "unify3task", "task12",
+                            "action_only"])
     p.add_argument("--pnr_root", type=str, default="../data/pnr")
     p.add_argument("--lta_root", type=str, default="../data/lta")
     p.add_argument("--taxonomy", type=str, default=None)
@@ -45,8 +46,15 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     from egot2x.core.config import Config
-    from egot2x.tasks.multitask_hoi import Unified6TaskTranslation
+    import egot2x.tasks.multitask_hoi as mt
     from egot2x.train.trainer import Trainer
+
+    TASK_CLASSES = {
+        "unify6task": mt.Unified6TaskTranslation,
+        "unify3task": mt.Unified3TaskTranslation,
+        "task12": mt.Task12Translation,
+        "action_only": mt.ActionOnlyTranslation,
+    }
 
     if args.synthetic:
         tmp = tempfile.gettempdir()
@@ -68,7 +76,7 @@ def main(argv=None):
         args.num_workers = 2
 
     cfg = Config(vars(args))
-    task = Unified6TaskTranslation(cfg)
+    task = TASK_CLASSES[args.task](cfg)
     trainer = Trainer(
         task,
         max_epochs=args.epochs,

@@ -155,6 +155,8 @@ class BucketBatchLoader:
             try:
                 for base, idx in plan:
                     q.put(self._make_batch(pool, base, idx))
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
             finally:
                 q.put(sentinel)
 
@@ -166,6 +168,8 @@ class BucketBatchLoader:
                     item = q.get()
                     if item is sentinel:
                         break
+                    if isinstance(item, BaseException):
+                        raise item
                     yield item
             finally:
                 pool.shutdown(wait=False)

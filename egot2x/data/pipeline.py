@@ -126,9 +126,14 @@ class BatchLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
         def producer():
+            # Exceptions are shipped to the consumer instead of dying in
+            # the worker thread (so loader errors fail the training step,
+            # not a background thread).
             try:
                 for c in chunks:
                     q.put(self._make_batch(pool, c))
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
             finally:
                 q.put(sentinel)
 
@@ -141,6 +146,8 @@ class BatchLoader:
                     item = q.get()
                     if item is sentinel:
                         break
+                    if isinstance(item, BaseException):
+                        raise item
                     yield item
             finally:
                 pool.shutdown(wait=False)

@@ -52,6 +52,9 @@ DECODES = [
 class Unified6TaskTranslation(Task):
     checkpoint_metric = "val_loss"
     checkpoint_mode = "min"
+    # subset selection (reference tasks unify3task/pnr_only/... —
+    # HOI/scripts/multitask/run.py:18-62); None = all six decodes
+    active_sources = ("pnr", "action", "lta")
 
     def __init__(self, cfg):
         import os
@@ -110,7 +113,8 @@ class Unified6TaskTranslation(Task):
                           num_actions=c.get("num_actions", 20), **common),
             c.get("lta_batch", 2), mode=mode, seed=c.seed,
             num_workers=c.num_workers)
-        return {"pnr": pnr, "action": action, "lta": lta}
+        loaders = {"pnr": pnr, "action": action, "lta": lta}
+        return {k: v for k, v in loaders.items() if k in self.active_sources}
 
     def train_loader(self):
         return CombinedLoader(self._loaders("train"))
@@ -165,6 +169,8 @@ class Unified6TaskTranslation(Task):
             variables = {"params": full, "batch_stats": state.batch_stats}
             total = 0.0
             for di, (src, tkey, task) in enumerate(DECODES):
+                if src not in self.active_sources:
+                    continue
                 batch = batches[src]
                 tgt = batch[tkey]
                 logits = state.apply_fn(
@@ -183,12 +189,15 @@ class Unified6TaskTranslation(Task):
         variables = state.variables()
         out = {}
         # pnr/oscc: 1-step predict over full vocab
-        pnr_batch = batches["pnr"]
-        for task in ("pnr", "oscc"):
-            out[task] = state.apply_fn(
-                variables, *self._model_args("pnr", pnr_batch, task), task,
-                method="predict")
+        if "pnr" in self.active_sources:
+            pnr_batch = batches["pnr"]
+            for task in ("pnr", "oscc"):
+                out[task] = state.apply_fn(
+                    variables, *self._model_args("pnr", pnr_batch, task), task,
+                    method="predict")
         for src, task in (("action", "action"), ("lta", "lta")):
+            if src not in self.active_sources:
+                continue
             preds = state.apply_fn(
                 variables, *self._model_args(src, batches[src], task), task,
                 method="predict")
@@ -197,6 +206,8 @@ class Unified6TaskTranslation(Task):
         # teacher-forced loss
         total = 0.0
         for di, (src, tkey, task) in enumerate(DECODES):
+            if src not in self.active_sources:
+                continue
             batch = batches[src]
             tgt = batch[tkey]
             logits = state.apply_fn(
@@ -216,8 +227,10 @@ class Unified6TaskTranslation(Task):
 
     def accumulate(self, ctx, outputs, batches):
         ctx["loss"].append(float(np.asarray(outputs["loss"])))
-        pnr_batch = batches["pnr"]
+        pnr_batch = batches.get("pnr")
         for task, tkey in (("pnr", "target_pnr"), ("oscc", "target_oscc")):
+            if task not in outputs:
+                continue
             logits = np.asarray(outputs[task])
             subset = self.subsets["pnr" if task == "pnr" else "oscc"]
             pred = self._subset_argmax(logits, subset)
@@ -225,6 +238,8 @@ class Unified6TaskTranslation(Task):
             ctx["correct"][task] += int((pred == gold).sum())
             ctx["total"][task] += len(pred)
         for src in ("action", "lta"):
+            if f"{src}_verb" not in outputs:
+                continue
             batch = batches[src]
             for sub in ("verb", "noun"):
                 logits = np.asarray(outputs[f"{src}_{sub}"])
@@ -239,3 +254,21 @@ class Unified6TaskTranslation(Task):
         for key in ctx["total"]:
             out[f"val_{key}_acc"] = ctx["correct"][key] / max(ctx["total"][key], 1)
         return out
+
+
+class Unified3TaskTranslation(Unified6TaskTranslation):
+    """pnr + oscc + action decodes (reference unify3task)."""
+
+    active_sources = ("pnr", "action")
+
+
+class Task12Translation(Unified6TaskTranslation):
+    """pnr + oscc only (reference task12)."""
+
+    active_sources = ("pnr",)
+
+
+class ActionOnlyTranslation(Unified6TaskTranslation):
+    """action decodes only (reference action_only)."""
+
+    active_sources = ("action",)
