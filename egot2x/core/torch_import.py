@@ -299,6 +299,78 @@ def oscc_rules():
     return rules
 
 
+def talknet_rules(dst_prefix: List[str] = []):
+    """TalkNet (HHI/models/asd) state_dict → egot2x TalkNetModel tree.
+
+    Source names per talkNetModel.py/visualEncoder.py/audioEncoder.py;
+    destination names per egot2x.nn.talknet module attributes.
+    """
+    rules = []
+    d = dst_prefix
+    # visual frontend: 3D stem + AVSR resnet
+    rules += _conv_rule("visualFrontend.frontend3D.0",
+                        d + ["visual_frontend", "frontend3d_conv"], t_conv3d)
+    rules += _bn_rule("visualFrontend.frontend3D.1",
+                      d + ["visual_frontend", "frontend3d_bn"])
+    for layer in range(1, 5):
+        sp = f"visualFrontend.resnet.layer{layer}"
+        dp = d + ["visual_frontend", f"layer{layer}"]
+        for leaf in ("conv1a", "conv2a", "conv1b", "conv2b", "downsample"):
+            rules += _conv_rule(f"{sp}.{leaf}", dp + [leaf])
+        for bn in ("bn1a", "outbna", "bn1b", "outbnb"):
+            rules += _bn_rule(f"{sp}.{bn}", dp + [bn])
+    # visual TCN: Sequential(relu, bn, dwconv, prelu, gln, pwconv)
+    for i in range(5):
+        sp = f"visualTCN.net.{i}.net"
+        dp = d + ["visual_tcn", f"block{i}"]
+        rules += _bn_rule(f"{sp}.1", dp + ["bn"])
+        rules += _conv_rule(f"{sp}.2", dp + ["depthwise"], t_depthwise_conv1d)
+        rules += [(f"{sp}.3.weight", ("params", dp + ["prelu_alpha"]), t_id)]
+        rules += [
+            (f"{sp}.4.gamma", ("params", dp + ["gln", "gamma"]),
+             lambda w: np.asarray(w).reshape(-1)),
+            (f"{sp}.4.beta", ("params", dp + ["gln", "beta"]),
+             lambda w: np.asarray(w).reshape(-1)),
+        ]
+        rules += _conv_rule(f"{sp}.5", dp + ["pointwise"], t_conv1d)
+    # visual conv1d head
+    rules += _conv_rule("visualConv1D.net.0",
+                        d + ["visual_conv1d", "conv5"], t_conv1d, bias=True)
+    rules += _bn_rule("visualConv1D.net.1", d + ["visual_conv1d", "bn"])
+    rules += _conv_rule("visualConv1D.net.3",
+                        d + ["visual_conv1d", "conv1"], t_conv1d, bias=True)
+    # audio encoder: SE-ResNet [3, 4, 6, 3]
+    rules += _conv_rule("audioEncoder.conv1", d + ["audio_encoder", "conv1"])
+    rules += _bn_rule("audioEncoder.bn1", d + ["audio_encoder", "bn1"])
+    for layer, blocks in enumerate([3, 4, 6, 3], start=1):
+        for b in range(blocks):
+            sp = f"audioEncoder.layer{layer}.{b}"
+            dp = d + ["audio_encoder", f"layer{layer}_{b}"]
+            rules += _conv_rule(sp + ".conv1", dp + ["conv1"])
+            rules += _bn_rule(sp + ".bn1", dp + ["bn1"])
+            rules += _conv_rule(sp + ".conv2", dp + ["conv2"])
+            rules += _bn_rule(sp + ".bn2", dp + ["bn2"])
+            rules += _linear_rule(sp + ".se.fc.0", dp + ["se_fc0"])
+            rules += _linear_rule(sp + ".se.fc.2", dp + ["se_fc1"])
+            rules += _conv_rule(sp + ".downsample.0", dp + ["downsample_conv"])
+            rules += _bn_rule(sp + ".downsample.1", dp + ["downsample_bn"])
+    # cross/self attention blocks
+    for src_name, dst_name in (("crossA2V", "cross_a2v"),
+                               ("crossV2A", "cross_v2a"),
+                               ("selfAV", "self_av")):
+        rules += mha_rules(f"{src_name}.self_attn", d + [dst_name, "self_attn"])
+        for leaf in ("linear1", "linear2"):
+            rules += _linear_rule(f"{src_name}.{leaf}", d + [dst_name, leaf])
+        for norm in ("norm1", "norm2"):
+            rules += [
+                (f"{src_name}.{norm}.weight",
+                 ("params", d + [dst_name, norm, "scale"]), t_id),
+                (f"{src_name}.{norm}.bias",
+                 ("params", d + [dst_name, norm, "bias"]), t_id),
+            ]
+    return rules
+
+
 # ---- caffe2 / partial-match loaders -------------------------------------
 
 _C2_PAIRS = [
@@ -399,6 +471,7 @@ def tree_paths(variables: Dict[str, Any]) -> set:
 FAMILIES: Dict[str, Callable[[], list]] = {
     "lam_baseline": lam_baseline_rules,
     "ttm_baseline": ttm_baseline_rules,
+    "asd_talknet": talknet_rules,
     "pnr_keyframe": pnr_keyframe_rules,
     "oscc": oscc_rules,
 }
