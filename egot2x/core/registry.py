@@ -8,7 +8,7 @@ of the reference's per-directory copies.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator, Optional
 
 
 class Registry:

@@ -26,7 +26,7 @@ HHI/utils/utils.py:21-47, HOI/utils/multitask/load_model.py:10-116).
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List
 
 import numpy as np
 

@@ -8,7 +8,7 @@ curve (VOC-style, same smoothing as egot2x.metrics.map).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List
 
 import numpy as np
 

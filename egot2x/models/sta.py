@@ -11,7 +11,7 @@ ttc head = Linear + softplus) and ``ShortTermAnticipationSlowFast``
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, List
 
 import jax
 import jax.numpy as jnp

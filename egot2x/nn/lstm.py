@@ -15,7 +15,7 @@ chunked kernel, is the right tool.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ the surrounding reshape, and all matmuls keep the head dim in lanes.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

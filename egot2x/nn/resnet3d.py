@@ -17,7 +17,7 @@ convs are static-shape; bf16-friendly via the dtype arg.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ Unlike Lightning's stateful modules, steps here are pure functions of
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 

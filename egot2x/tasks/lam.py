@@ -9,13 +9,11 @@ replaced by in-memory numpy aggregation (egot2x.metrics.map).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from egot2x.core.registry import build_model
 from egot2x.data.lam import LamClipDataset

@@ -10,7 +10,6 @@ test writes outputs_lta.json with per-sample predictions.
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict
 
 import jax

@@ -20,7 +20,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from egot2x.core.registry import build_model
 from egot2x.data.pipeline import BatchLoader

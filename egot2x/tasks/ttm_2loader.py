@@ -11,7 +11,6 @@ reference, whose Adam iterates all params (video_task.py:65).
 
 from __future__ import annotations
 
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ machinery needed — SURVEY.md §2.8).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable
+from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp

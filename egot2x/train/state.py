@@ -11,7 +11,7 @@ subtle all-params-Adam behavior, SURVEY.md §7 hard parts).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import optax

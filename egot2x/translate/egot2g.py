@@ -26,7 +26,7 @@ decode is a plain unrolled loop inside jit (SURVEY.md §7 hard parts).
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

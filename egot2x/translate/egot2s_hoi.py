@@ -28,7 +28,7 @@ trainable) by keeping it under a non-frozen key.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

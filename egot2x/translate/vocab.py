@@ -18,7 +18,7 @@ Behavioral reference:
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 NOUN_DEDUP = {
     19: "bat_sports",
