@@ -104,11 +104,14 @@ class AsdTrialDataset(BucketedDataset):
 
     def __init__(self, root: str, split: str = "train", augment: Optional[bool] = None,
                  seed: int = 0, with_rgb: bool = False, rgb_size: int = 224):
+        # per-item RNGs are derived from (seed, idx) in get_item: the
+        # loader's thread pool calls get_item concurrently and a shared
+        # Generator is neither thread-safe nor deterministic
         self.root = root
         self.with_rgb = with_rgb
         self.rgb_size = rgb_size
         self.augment = (split == "train") if augment is None else augment
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         csv_path = os.path.join(root, "csv", f"active_speaker_{split}.csv")
         self.trials = []
         with open(csv_path) as f:
@@ -143,7 +146,8 @@ class AsdTrialDataset(BucketedDataset):
             self._wave_cache[uid] = (sr, wave)
         return self._wave_cache[uid]
 
-    def _load_audio(self, trial, n_frames: int, with_aug: bool) -> np.ndarray:
+    def _load_audio(self, trial, n_frames: int, with_aug: bool,
+                    rng: np.random.Generator) -> np.ndarray:
         uid = trial["trackid"][:36]
         sr, wave = self._read_wave(uid)
         fps = trial["fps"]
@@ -153,19 +157,20 @@ class AsdTrialDataset(BucketedDataset):
         if len(audio) == 0:
             audio = np.zeros(int(end * sr) - int(start * sr))
         audio = normalize_audio_int16(audio.astype(np.float64))
-        if with_aug and self.rng.integers(0, 2) == 1 and len(self.trials) > 1:
-            other = self.trials[int(self.rng.integers(0, len(self.trials)))]
+        if with_aug and rng.integers(0, 2) == 1 and len(self.trials) > 1:
+            other = self.trials[int(rng.integers(0, len(self.trials)))]
             osr, owave = self._read_wave(other["trackid"][:36])
             os_ = other["start"] / other["fps"]
             oe = (other["start"] + other["num_frames"]) / other["fps"]
             noise = normalize_audio_int16(owave[int(os_ * osr): int(oe * osr)].astype(np.float64))
             if len(noise):
-                audio = overlap_noise(audio, noise, float(self.rng.uniform(-5, 5)))
+                audio = overlap_noise(audio, noise, float(rng.uniform(-5, 5)))
         feat = mfcc_np(audio, 16000, winlen=0.025 * 25 / fps,
                        winstep=0.010 * 25 / fps, num_frames=4 * n_frames)
         return feat.astype(np.float32)
 
-    def _load_visual(self, trial, n_frames: int, with_aug: bool) -> np.ndarray:
+    def _load_visual(self, trial, n_frames: int, with_aug: bool,
+                     rng: np.random.Generator) -> np.ndarray:
         trackid = trial["trackid"]
         uid = trackid[:36]
         with open(os.path.join(self.root, "bbox", trackid + ".json")) as f:
@@ -179,10 +184,10 @@ class AsdTrialDataset(BucketedDataset):
         aug_type = "orig"
         if with_aug:
             h = CROP_SIZE
-            new = int(h * self.rng.uniform(0.7, 1))
-            ax, ay = int(self.rng.integers(0, h - new)), int(self.rng.integers(0, h - new))
-            rot = cv2.getRotationMatrix2D((h / 2, h / 2), float(self.rng.uniform(-15, 15)), 1)
-            aug_type = ["orig", "flip", "crop", "rotate"][int(self.rng.integers(0, 4))]
+            new = int(h * rng.uniform(0.7, 1))
+            ax, ay = int(rng.integers(0, h - new)), int(rng.integers(0, h - new))
+            rot = cv2.getRotationMatrix2D((h / 2, h / 2), float(rng.uniform(-15, 15)), 1)
+            aug_type = ["orig", "flip", "crop", "rotate"][int(rng.integers(0, 4))]
         j = 0
         for i, fr in enumerate(frames):
             if j >= n_frames:
@@ -205,8 +210,9 @@ class AsdTrialDataset(BucketedDataset):
     def get_item(self, idx: int, n_frames: int) -> Dict:
         trial = self.trials[idx]
         n = min(n_frames, trial["num_frames"])
-        mfcc_feat = self._load_audio(trial, n_frames, self.augment)
-        faces = self._load_visual(trial, n_frames, self.augment)
+        rng = np.random.default_rng([self.seed, idx])
+        mfcc_feat = self._load_audio(trial, n_frames, self.augment, rng)
+        faces = self._load_visual(trial, n_frames, self.augment, rng)
         labels = trial["labels"][:n_frames]
         if len(labels) < n_frames:
             labels = np.pad(labels, (0, n_frames - len(labels)), mode="edge")

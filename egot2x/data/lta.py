@@ -121,7 +121,7 @@ class Ego4dRecognitionDataset(Dataset):
         self.crop_size = crop_size
         self.clip_dur = clip_dur
         self.decoder = ClipDecoder(root)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed  # per-item rngs: thread-safe, deterministic
         with open(os.path.join(root, f"fho_lta_{split}.json")) as f:
             anns = json.load(f)
         self.clips = anns["clips"]
@@ -129,28 +129,28 @@ class Ego4dRecognitionDataset(Dataset):
     def __len__(self):
         return len(self.clips)
 
-    def _sample_window(self, info) -> Tuple[float, float]:
+    def _sample_window(self, info, rng) -> Tuple[float, float]:
         s = float(info["action_clip_start_sec"])
         e = float(info["action_clip_end_sec"])
         if self.mode == "train":
             if e - s > self.clip_dur:
-                s = s + self.rng.uniform(0, (e - s) - self.clip_dur)
+                s = s + rng.uniform(0, (e - s) - self.clip_dur)
         else:  # center clip (CenterClipVideoSampler)
             mid = (s + e) / 2
             s = max(mid - self.clip_dur / 2, s)
         return s, s + self.clip_dur
 
-    def _load_clip(self, info) -> Tuple[np.ndarray, np.ndarray]:
-        s, e = self._sample_window(info)
+    def _load_clip(self, info, rng) -> Tuple[np.ndarray, np.ndarray]:
+        s, e = self._sample_window(info, rng)
         frames = self.decoder.decode(info["clip_uid"], s, e, self.num_frames)
         frames = spatial_transform(frames, self.mode == "train",
-                                   self.crop_size, self.rng)
+                                   self.crop_size, rng)
         slow, fast = to_pathways(frames, self.alpha)
         return normalize_clip(slow), normalize_clip(fast)
 
     def __getitem__(self, index: int) -> Dict:
         info = self.clips[index]
-        slow, fast = self._load_clip(info)
+        slow, fast = self._load_clip(info, np.random.default_rng([self.seed, index]))
         return {
             "slow": slow,
             "fast": fast,
@@ -185,9 +185,10 @@ class Ego4dLtaDataset(Ego4dRecognitionDataset):
 
     def __getitem__(self, index: int) -> Dict:
         inputs, future = self.samples[index]
+        rng = np.random.default_rng([self.seed, index])
         slows, fasts = [], []
         for info in inputs:
-            slow, fast = self._load_clip(info)
+            slow, fast = self._load_clip(info, rng)
             slows.append(slow)
             fasts.append(fast)
         verb = np.asarray([a["verb_label"] for a in future], dtype=np.int64)

@@ -78,7 +78,7 @@ class PnrClipDataset(Dataset):
             self.clips.append(clip)
         self.positive_dir = os.path.join(root, "positive")
         self.negative_dir = os.path.join(root, "negative")
-        self.rng = np.random.default_rng(0)
+        self.seed = 0  # per-item rngs derived from (seed, index): thread-safe
 
     def __len__(self) -> int:
         return len(self.clips)
@@ -98,10 +98,11 @@ class PnrClipDataset(Dataset):
         pnr_frame = info.get("pnr_frame")
         clip_start = int(info["clip_start_frame"])
         clip_end = int(info["clip_end_frame"])
+        rng = np.random.default_rng([self.seed, index])
         if self.mode == "train":
             # 5-8 s random window, PNR kept inside (:287-312)
-            rand_len = self.rng.uniform(5, 8)
-            rand_start_sec = info["clip_start_sec"] + self.rng.uniform(0, 8 - rand_len)
+            rand_len = rng.uniform(5, 8)
+            rand_start_sec = info["clip_start_sec"] + rng.uniform(0, 8 - rand_len)
             start = int(np.floor(rand_start_sec * 30))
             end_sec = min(rand_start_sec + rand_len, info["clip_end_sec"])
             end = int(np.floor(end_sec * 30))
