@@ -48,6 +48,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # egot2x extensions
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bf16"],
+                   help="activation dtype (bf16 for MXU throughput)")
     return p
 
 

@@ -80,9 +80,15 @@ class ResNetSE(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, wave: jax.Array, train: bool = False) -> jax.Array:
-        # Frontend under stop_gradient (reference torch.no_grad, resse.py:101).
-        mel = jax.lax.stop_gradient(resse_frontend(wave))  # (B, n_mels, T)
+    def __call__(self, wave: jax.Array, train: bool = False,
+                 mel: jax.Array | None = None) -> jax.Array:
+        """wave (B, samples) → 512-d embedding; pass ``mel`` (B, n_mels, T)
+        to bypass the on-device frontend (parity tests, precomputed
+        features)."""
+        if mel is None:
+            # Frontend under stop_gradient (reference torch.no_grad,
+            # resse.py:101).
+            mel = jax.lax.stop_gradient(resse_frontend(wave))  # (B, n_mels, T)
         x = mel[..., None].astype(self.dtype)  # (B, n_mels, T, 1) NHWC
 
         norm = lambda name: nn.BatchNorm(

@@ -16,6 +16,15 @@ import jax
 from egot2x.train.state import TrainState
 
 
+def resolve_dtype(cfg):
+    """cfg.compute_dtype ∈ {float32, bf16/bfloat16} → jnp dtype (bf16
+    activations on the MXU with f32 params/stats)."""
+    import jax.numpy as jnp
+
+    name = str(cfg.get("compute_dtype", "float32")).lower()
+    return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(name, jnp.float32)
+
+
 class Task:
     # name of the metric used for checkpoint selection and whether
     # higher is better (reference: task.checkpoint_metric + ckpt mode)

@@ -19,7 +19,7 @@ from egot2x.core.registry import build_model
 from egot2x.data.lam import LamClipDataset
 from egot2x.data.pipeline import BatchLoader
 from egot2x.metrics.map import run_evaluation
-from egot2x.tasks.base import Task
+from egot2x.tasks.base import Task, resolve_dtype
 from egot2x.train.optim import construct_optimizer
 from egot2x.train.state import TrainState
 
@@ -41,7 +41,7 @@ class LookingAtMe(Task):
 
     def __init__(self, cfg):
         self.cfg = cfg
-        self.model = build_model(cfg.model)
+        self.model = build_model(cfg.model, dtype=resolve_dtype(cfg))
         self.class_weights = np.asarray(cfg.weights, dtype=np.float32)
 
     # -- state -------------------------------------------------------------

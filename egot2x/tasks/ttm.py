@@ -25,7 +25,7 @@ from egot2x.core.registry import build_model
 from egot2x.data.bucketing import BucketBatchLoader
 from egot2x.data.ttm import TtmSegmentDataset
 from egot2x.metrics.map import run_evaluation
-from egot2x.tasks.base import Task
+from egot2x.tasks.base import Task, resolve_dtype
 from egot2x.tasks.lam import weighted_cross_entropy
 from egot2x.train.optim import construct_optimizer
 from egot2x.train.state import TrainState
@@ -39,7 +39,7 @@ class TalkingToMe(Task):
 
     def __init__(self, cfg):
         self.cfg = cfg
-        self.model = build_model(cfg.model)
+        self.model = build_model(cfg.model, dtype=resolve_dtype(cfg))
         self.class_weights = np.asarray(cfg.weights, dtype=np.float32)
 
     def build_state(self, rng: jax.Array) -> TrainState:

@@ -35,8 +35,11 @@ class TalkingToMe2Loader(TalkingToMe):
 
     def __init__(self, cfg):
         self.cfg = cfg
+        from egot2x.tasks.base import resolve_dtype
+
         self.model = build_model(
             cfg.model,
+            dtype=resolve_dtype(cfg),
             hidden_dim=cfg.get("hidden_dim", 256),
             num_heads=cfg.get("num_heads", 4),
             num_layers=cfg.get("num_layers", 3),

@@ -251,3 +251,98 @@ def test_talknet_rules_cover_model_tree(rng):
     # coverage: rules reach the large majority of the model tree (custom
     # lambda leaves like MHA q/k/v and gln are exercised separately)
     assert len(produced) > 0.8 * len(leaves)
+
+
+def test_resnetse_import_forward_parity(rng):
+    """SE-ResNet trunk + ASP pooling vs a raw-torch replica of the
+    reference ResNetSE (resse.py), fed an identical precomputed mel."""
+    import jax
+    import jax.numpy as jnp
+
+    from egot2x.core.torch_import import apply_rules, resnetse_rules
+    from egot2x.nn.resnet_se import ResNetSE
+
+    class TSE(tnn.Module):
+        def __init__(self, ch, red=8):
+            super().__init__()
+            self.avg_pool = tnn.AdaptiveAvgPool2d(1)
+            self.fc = tnn.Sequential(tnn.Linear(ch, ch // red), tnn.ReLU(),
+                                     tnn.Linear(ch // red, ch), tnn.Sigmoid())
+
+        def forward(self, x):
+            b, c = x.shape[:2]
+            y = self.fc(self.avg_pool(x).view(b, c)).view(b, c, 1, 1)
+            return x * y
+
+    class TBlock(tnn.Module):
+        def __init__(self, inp, out, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inp, out, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(out)
+            self.conv2 = tnn.Conv2d(out, out, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(out)
+            self.relu = tnn.ReLU()
+            self.se = TSE(out)
+            self.downsample = None
+            if stride != 1 or inp != out:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inp, out, 1, stride, bias=False),
+                    tnn.BatchNorm2d(out))
+
+        def forward(self, x):
+            r = x if self.downsample is None else self.downsample(x)
+            # reference order: conv → relu → bn (resse.py:146-148)
+            y = self.bn1(self.relu(self.conv1(x)))
+            y = self.se(self.bn2(self.conv2(y)))
+            return self.relu(y + r)
+
+    class TResNetSE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            f = [32, 64, 128, 256]
+            self.conv1 = tnn.Conv2d(1, f[0], 3, 1, 1)
+            self.relu = tnn.ReLU()
+            self.bn1 = tnn.BatchNorm2d(f[0])
+            for i, ch in enumerate(f):
+                stride = 1 if i == 0 else 2
+                inp = f[0] if i == 0 else f[i - 1]
+                setattr(self, f"layer{i + 1}", tnn.Sequential(
+                    TBlock(inp, ch, stride), TBlock(ch, ch)))
+            self.attention = tnn.Sequential(
+                tnn.Conv1d(256 * 8, 128, 1), tnn.ReLU(), tnn.BatchNorm1d(128),
+                tnn.Conv1d(128, 256 * 8, 1), tnn.Softmax(dim=2))
+            self.fc = tnn.Linear(256 * 8 * 2, 512)
+
+        def forward(self, mel):  # (B, 64, T)
+            x = mel.unsqueeze(1)
+            x = self.bn1(self.relu(self.conv1(x)))
+            for i in range(1, 5):
+                x = getattr(self, f"layer{i}")(x)
+            x = x.reshape(x.size(0), -1, x.size(-1))
+            w = self.attention(x)
+            mu = (x * w).sum(2)
+            sg = torch.sqrt(((x ** 2 * w).sum(2) - mu ** 2).clamp(min=1e-5))
+            return self.fc(torch.cat([mu, sg], 1))
+
+    tmodel = TResNetSE()
+    for m in tmodel.modules():
+        if isinstance(m, (tnn.BatchNorm2d, tnn.BatchNorm1d)):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.standard_normal(m.running_mean.shape).astype(np.float32) * 0.1))
+                m.running_var.copy_(torch.from_numpy(
+                    rng.uniform(0.5, 1.5, m.running_var.shape).astype(np.float32)))
+    tmodel.eval()
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    translated = apply_rules(state, resnetse_rules("", []))
+    leftovers = [k for k in translated["unused"] if "num_batches_tracked" not in k]
+    assert leftovers == [], leftovers
+
+    mel = rng.standard_normal((2, 64, 40)).astype(np.float32)
+    model = ResNetSE()
+    ours = np.asarray(model.apply(
+        {"params": translated["params"],
+         "batch_stats": translated["batch_stats"]},
+        jnp.zeros((2, 100)), mel=jnp.asarray(mel)))
+    theirs = tmodel(torch.from_numpy(mel)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
