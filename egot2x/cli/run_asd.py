@@ -55,8 +55,18 @@ def main(argv=None):
         args.batch_size = min(args.batch_size, 60)
         args.num_workers = 2
 
+    if args.two_loader and args.model == "TalkNetWithHeads":
+        args.model = "TaskFusionMFTransformer3TaskASD"
+    if args.synthetic and args.two_loader:
+        args.rgb_size = 64
+
     cfg = Config(vars(args))
-    task = ActiveSpeakerDetection(cfg)
+    if args.two_loader:
+        from egot2x.tasks.asd_2loader import ActiveSpeakerDetection2Loader
+
+        task = ActiveSpeakerDetection2Loader(cfg)
+    else:
+        task = ActiveSpeakerDetection(cfg)
     trainer = Trainer(
         task,
         max_epochs=args.epochs,

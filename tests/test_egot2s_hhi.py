@@ -126,3 +126,31 @@ def test_graft_backbone_roundtrip(tmp_path, rng):
     # grafted variables still run
     out = model.apply(grafted, video, audio, train=False)
     assert out.shape == (1, 2)
+
+
+def test_asd_2loader_task_step():
+    """ASD-target translation: frozen split inside 'translator' +
+    per-frame lossAV head training step."""
+    import os
+    import tempfile
+
+    from egot2x.core.config import Config
+    from egot2x.data.synthetic import make_asd_fixture
+    from egot2x.tasks.asd_2loader import ActiveSpeakerDetection2Loader
+
+    root = os.path.join(tempfile.gettempdir(), "egot2x_asd2l_fixture")
+    if not os.path.exists(os.path.join(root, "csv", "active_speaker_train.csv")):
+        make_asd_fixture(root, img_size=40)
+    cfg = Config(data_root=root, lr=1e-4, batch_size=40, num_workers=2,
+                 seed=0, rgb_size=48, hidden_dim=64, num_layers=1)
+    task = ActiveSpeakerDetection2Loader(cfg)
+    state = task.build_state(jax.random.key(0))
+    assert "translator" in state.frozen
+    assert set(state.frozen["translator"]) == {"lam_model", "ttm_model",
+                                               "asd_model"}
+    batch = next(iter(task.train_loader()))
+    dev = {k: v for k, v in batch.items()
+           if isinstance(v, np.ndarray) and v.dtype.kind in "biufc"}
+    state2, metrics = jax.jit(task.train_step, donate_argnums=0)(
+        state, dev, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
