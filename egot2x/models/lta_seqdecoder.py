@@ -87,24 +87,37 @@ class ForecastingEncoderSeqDecoder(nn.Module):
 
     def predict(self, pathways):
         """Greedy rollout of 2·Z tokens; returns verb/noun subset logits
-        [(B, Z, |verbs|), (B, Z, |nouns|)]."""
+        [(B, Z, |verbs|), (B, Z, |nouns|)].
+
+        TPU-native rollout: the decoder runs over the FULL fixed-length
+        token buffer every step (causal masking makes positions ≥ sy
+        inert), so XLA compiles ONE decode program instead of one per
+        prefix length, and the loop is a lax.fori_loop."""
         encoded = self.encode(pathways, train=False)
         b = encoded.shape[0]
         seq_len = 2 * self.num_actions + 1
         v_idx = jnp.asarray(np.asarray(self.verb_ids))
         n_idx = jnp.asarray(np.asarray(self.noun_ids))
-        tokens = jnp.full((b, seq_len), 1, jnp.int32)
-        tokens = tokens.at[:, 0].set(self.bos_token)
-        verb_logits, noun_logits = [], []
-        for sy in range(1, seq_len):
-            logits = self.decode(tokens[:, :sy], encoded)  # (B, sy, V)
-            step = logits[:, -1]
-            if sy % 2 == 1:
-                verb_logits.append(step[:, v_idx])
-            else:
-                noun_logits.append(step[:, n_idx])
-            tokens = tokens.at[:, sy].set(jnp.argmax(step, axis=-1))
-        return [jnp.stack(verb_logits, axis=1), jnp.stack(noun_logits, axis=1)]
+        tokens0 = jnp.full((b, seq_len), 1, jnp.int32).at[:, 0].set(self.bos_token)
+        step_logits0 = jnp.zeros((b, seq_len, self.vocab_size), jnp.float32)
+
+        def body(sy, carry):
+            tokens, step_logits = carry
+            logits = self.decode(tokens, encoded)  # (B, seq_len, V) fixed shape
+            step = jax.lax.dynamic_slice_in_dim(logits, sy - 1, 1, axis=1)[:, 0]
+            tokens = jax.lax.dynamic_update_slice_in_dim(
+                tokens, jnp.argmax(step, axis=-1).astype(jnp.int32)[:, None],
+                sy, axis=1)
+            step_logits = jax.lax.dynamic_update_slice_in_dim(
+                step_logits, step.astype(jnp.float32)[:, None], sy, axis=1)
+            return tokens, step_logits
+
+        _, step_logits = jax.lax.fori_loop(1, seq_len, body,
+                                           (tokens0, step_logits0))
+        # positions 1, 3, 5, … hold verb-step logits; 2, 4, … noun-step
+        verb_steps = step_logits[:, 1::2][:, : self.num_actions]
+        noun_steps = step_logits[:, 2::2][:, : self.num_actions]
+        return [verb_steps[..., v_idx], noun_steps[..., n_idx]]
 
     def generate(self, pathways, k: int = 1, rng: Optional[jax.Array] = None):
         outs = self.predict(pathways)
