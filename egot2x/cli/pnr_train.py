@@ -48,6 +48,8 @@ def build_argparser():
     p.add_argument("--output_dir", type=str, default="debug")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize trunk stages (memory for FLOPs)")
     p.add_argument("opts", nargs="*", default=[],
                    help="KEY VALUE config overrides (reference style)")
     return p

@@ -41,12 +41,13 @@ class KeyframeLocalizationResNet(nn.Module):
     crop_size: int = 225
     num_classes: int = 1  # per-frame logit; (B, T) after squeeze
     dropout_rate: float = 0.5
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, frames, train: bool = False, middle: bool = False):
-        y = ResNet3D(arch=self.arch, depth=self.depth, dtype=self.dtype,
-                     name="trunk")(frames, train=train)
+        y = ResNet3D(arch=self.arch, depth=self.depth, remat=self.remat,
+                     dtype=self.dtype, name="trunk")(frames, train=train)
         return KeyframeLocalizationHead(
             num_classes=self.num_classes,
             spatial_pool=_head_spatial_pool(self.crop_size, self.arch),
@@ -72,12 +73,13 @@ class StateChangeClsResNet(nn.Module):
     # translators (reference NO_TEMP_POOL in ts_oscc.yaml)
     no_temp_pool: bool = False
     dropout_rate: float = 0.5
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, frames, train: bool = False, middle: bool = False):
-        y = ResNet3D(arch=self.arch, depth=self.depth, dtype=self.dtype,
-                     name="trunk")(frames, train=train)
+        y = ResNet3D(arch=self.arch, depth=self.depth, remat=self.remat,
+                     dtype=self.dtype, name="trunk")(frames, train=train)
         t_pool = 1 if self.no_temp_pool else y.shape[1]
         out = KeyframeLocalizationHead(
             num_classes=self.num_classes,

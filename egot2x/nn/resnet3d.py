@@ -156,7 +156,12 @@ class VideoStem(nn.Module):
 
 
 class ResNet3D(nn.Module):
-    """Single-pathway trunk: (B, T, H, W, C) → (B, T', H', W', 2048)."""
+    """Single-pathway trunk: (B, T, H, W, C) → (B, T', H', W', 2048).
+
+    ``remat=True`` rematerializes each residual stage in the backward
+    pass (jax.checkpoint), trading ~30% extra forward FLOPs for the
+    activation memory of the 3D conv stack — the lever for larger
+    Stage-I training batches in HBM."""
 
     arch: str = "slow_layer5"
     depth: int = 50
@@ -164,6 +169,7 @@ class ResNet3D(nn.Module):
     width_per_group: int = 64
     spatial_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
     num_block_temp_kernel: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -172,19 +178,20 @@ class ResNet3D(nn.Module):
         w = self.width_per_group
         dim_inner = self.num_groups * w
         tk = TEMPORAL_KERNEL_BASIS[self.arch]
+        stage_cls = nn.remat(ResStage, static_argnums=(2,)) if self.remat             else ResStage
         y = VideoStem(w, tk[0][0], dtype=self.dtype, name="s1")(x, train=train)
-        y = ResStage(w * 4, dim_inner, d2, tk[1], self.num_block_temp_kernel[0],
-                     self.spatial_strides[0], dtype=self.dtype, name="s2")(y, train=train)
+        y = stage_cls(w * 4, dim_inner, d2, tk[1], self.num_block_temp_kernel[0],
+                      self.spatial_strides[0], dtype=self.dtype, name="s2")(y, train)
         pt = POOL1[self.arch][0]
         if pt > 1:  # temporal pool after res2 (c2d/i3d)
             b = y.shape[0]
             y = nn.max_pool(y, (pt, 1, 1), strides=(pt, 1, 1))
-        y = ResStage(w * 8, dim_inner * 2, d3, tk[2], self.num_block_temp_kernel[1],
-                     self.spatial_strides[1], dtype=self.dtype, name="s3")(y, train=train)
-        y = ResStage(w * 16, dim_inner * 4, d4, tk[3], self.num_block_temp_kernel[2],
-                     self.spatial_strides[2], dtype=self.dtype, name="s4")(y, train=train)
-        y = ResStage(w * 32, dim_inner * 8, d5, tk[4], self.num_block_temp_kernel[3],
-                     self.spatial_strides[3], dtype=self.dtype, name="s5")(y, train=train)
+        y = stage_cls(w * 8, dim_inner * 2, d3, tk[2], self.num_block_temp_kernel[1],
+                      self.spatial_strides[1], dtype=self.dtype, name="s3")(y, train)
+        y = stage_cls(w * 16, dim_inner * 4, d4, tk[3], self.num_block_temp_kernel[2],
+                      self.spatial_strides[2], dtype=self.dtype, name="s4")(y, train)
+        y = stage_cls(w * 32, dim_inner * 8, d5, tk[4], self.num_block_temp_kernel[3],
+                      self.spatial_strides[3], dtype=self.dtype, name="s5")(y, train)
         return y
 
 

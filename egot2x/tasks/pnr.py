@@ -92,7 +92,8 @@ class KeyframeLocalisation(PnrTaskBase):
         c = self.cfg
         return build_model(c.get("model", "KeyframeLocalizationResNet"),
                            arch=c.get("arch", "slow_layer5"),
-                           crop_size=c.get("crop_size", 225))
+                           crop_size=c.get("crop_size", 225),
+                           remat=c.get("remat", False))
 
     def train_step(self, state: TrainState, batch, rng):
         use_bce = self.cfg.get("loss_func", "bce") == "bce"
@@ -163,7 +164,8 @@ class StateChangeClassification(PnrTaskBase):
         c = self.cfg
         return build_model(c.get("model", "StateChangeClsResNet"),
                            arch=c.get("arch", "slow_layer5"),
-                           crop_size=c.get("crop_size", 225))
+                           crop_size=c.get("crop_size", 225),
+                           remat=c.get("remat", False))
 
     def train_step(self, state: TrainState, batch, rng):
         def loss_fn(params):
