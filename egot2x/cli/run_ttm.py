@@ -70,9 +70,12 @@ def main(argv=None):
         args.batch_size = min(args.batch_size, 120)
         args.num_workers = 2
 
+    TWO_TASK_TRANSLATORS = {"TaskFusionMFTransformer2Task"}
     cfg = Config(vars(args))
     if args.two_loader:
         from egot2x.tasks.ttm_2loader import TalkingToMe2Loader as TaskCls
+    elif args.model in TWO_TASK_TRANSLATORS:
+        from egot2x.tasks.ttm_2loader import TalkingToMe2Task as TaskCls
     else:
         from egot2x.tasks.ttm import TalkingToMe as TaskCls
     task = TaskCls(cfg)

@@ -119,3 +119,28 @@ class TalkingToMe2Loader(TalkingToMe):
     def _dataset(self, split):
         c = self.cfg
         return TtmTwoTaskDataset(c.data_root, split=split, img_size=c.img_size)
+
+
+class TalkingToMe2Task(TalkingToMe2Loader):
+    """Single-loader translator task for the 2-task LAM+TTM fusion
+    (reference trains TaskFusionMFTransformer2Task through the plain
+    TalkingToMe task, HHI/scripts/run_ttm.py without --two_loader;
+    batch = (video, audio))."""
+
+    def _sample_inputs(self):
+        c = self.cfg
+        n = int(min(self.buckets))
+        s = c.img_size
+        return (
+            jnp.zeros((1, n, s, s, 3), jnp.float32),
+            jnp.zeros((1, int(n / 30.0 * 16000)), jnp.float32),
+        )
+
+    def _model_inputs(self, batch):
+        return (batch["frames"], batch["audio"])
+
+    def _dataset(self, split):
+        from egot2x.data.ttm import TtmSegmentDataset
+
+        c = self.cfg
+        return TtmSegmentDataset(c.data_root, split=split, img_size=c.img_size)
