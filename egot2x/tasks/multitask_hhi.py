@@ -125,9 +125,18 @@ class Unified3TaskTranslation(Task):
     def build_state(self, rng: jax.Array) -> TrainState:
         c = self.cfg
         lam, ttm, asd = self._sample_batches()
+        # initialize every task branch and merge: the single-stream
+        # baseline (TaskPromptTransformer) only touches one backbone per
+        # task, so a single init would leave the other branches without
+        # parameters
         variables = dict(self.model.init(
             rng, *self._task_args("ttm", ttm), ttm["target_seq"][:, :-1],
             "ttm", train=False))
+        for task, batch in (("lam", lam), ("asd", asd)):
+            tgt = self._decode_target(task, batch)
+            extra = self.model.init(rng, *self._task_args(task, batch),
+                                    tgt[:, :-1], task, train=False)
+            variables = merge_trees(dict(extra), variables)
         for key, flag, src in (
             ("lam_model", "lam_checkpoint", "trunk"),
             ("ttm_model", "ttm_checkpoint", "trunk"),
