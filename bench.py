@@ -42,11 +42,15 @@ def main():
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache", "variables")
+    variables = None
     if os.path.isdir(cache):
-        from egot2x.core.checkpoint import restore_tree
+        try:
+            from egot2x.core.checkpoint import restore_tree
 
-        variables = restore_tree(cache)
-    else:
+            variables = restore_tree(cache)
+        except Exception:
+            variables = None  # stale cache (model shapes changed): re-init
+    if variables is None:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             cpu_inputs = jax.tree_util.tree_map(
