@@ -371,6 +371,47 @@ def talknet_rules(dst_prefix: List[str] = []):
     return rules
 
 
+def mvit_rules(depth: int = 16, num_heads_out: int = 2,
+               dst_prefix: List[str] = []):
+    """PySlowFast MViT state_dict → egot2x MViT tree.
+
+    Source names per HOI/models/lta/video_model_builder.py:627-1408
+    (patch_embed.proj, blocks.{i}.{norm1,attn.{q,k,v,proj,pool_q,pool_k,
+    pool_v},norm2,mlp.fc1,mlp.fc2,proj}, cls_token, pos_embed, norm,
+    head.projection). Depthwise pool convs transform like conv3d.
+    """
+    d = dst_prefix
+    rules = [
+        ("cls_token", ("params", d + ["cls_token"]), t_id),
+        ("pos_embed", ("params", d + ["pos_embed"]), t_id),
+        ("norm.weight", ("params", d + ["norm", "scale"]), t_id),
+        ("norm.bias", ("params", d + ["norm", "bias"]), t_id),
+    ]
+    rules += _conv_rule("patch_embed.proj", d + ["patch_embed", "proj"],
+                        t_conv3d, bias=True)
+    for i in range(depth):
+        sp = f"blocks.{i}"
+        dp = d + [f"blocks_{i}"]
+        for norm in ("norm1", "norm2"):
+            rules += [
+                (f"{sp}.{norm}.weight", ("params", dp + [norm, "scale"]), t_id),
+                (f"{sp}.{norm}.bias", ("params", dp + [norm, "bias"]), t_id),
+            ]
+        for leaf in ("q", "k", "v", "proj"):
+            rules += _linear_rule(f"{sp}.attn.{leaf}", dp + ["attn", leaf])
+        for pool in ("pool_q", "pool_k", "pool_v"):
+            rules += _conv_rule(f"{sp}.attn.{pool}", dp + ["attn", pool],
+                                t_conv3d)
+        rules += _linear_rule(f"{sp}.mlp.fc1", dp + ["mlp_fc1"])
+        rules += _linear_rule(f"{sp}.mlp.fc2", dp + ["mlp_fc2"])
+        rules += _linear_rule(f"{sp}.proj", dp + ["proj_residual"])
+    for hi in range(num_heads_out):
+        rules += _linear_rule(f"head.projection.{hi}",
+                              d + [f"head_projection_{hi}"])
+    rules += _linear_rule("head.projection", d + ["head_projection_0"])
+    return rules
+
+
 # ---- caffe2 / partial-match loaders -------------------------------------
 
 _C2_PAIRS = [
@@ -472,6 +513,7 @@ FAMILIES: Dict[str, Callable[[], list]] = {
     "lam_baseline": lam_baseline_rules,
     "ttm_baseline": ttm_baseline_rules,
     "asd_talknet": talknet_rules,
+    "mvit": mvit_rules,
     "pnr_keyframe": pnr_keyframe_rules,
     "oscc": oscc_rules,
 }

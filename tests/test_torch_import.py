@@ -346,3 +346,45 @@ def test_resnetse_import_forward_parity(rng):
         jnp.zeros((2, 100)), mel=jnp.asarray(mel)))
     theirs = tmodel(torch.from_numpy(mel)).detach().numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_mvit_rules_cover_model_tree(rng):
+    """MViT rule map covers the model tree via inverse-transformed
+    synthetic source arrays (same approach as the TalkNet coverage test)."""
+    import jax
+    import jax.numpy as jnp
+
+    from egot2x.core import torch_import as ti
+    from egot2x.nn.mvit import MultiTaskMViT
+
+    model = MultiTaskMViT(embed_dim=32, depth=6, num_heads=1,
+                          dim_mul_blocks=(1, 3), head_mul_blocks=(1, 3),
+                          q_pool_blocks=(1, 3), num_classes=(7, 9))
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 8, 64, 64, 3)), train=False)
+    leaves = {}
+    for coll in ("params",):
+        for p, v in jax.tree_util.tree_leaves_with_path(variables.get(coll, {})):
+            key = tuple(getattr(k, "key") for k in p)
+            leaves[(coll,) + key] = np.asarray(v)
+
+    inverse = {
+        ti.t_conv3d: lambda a: np.transpose(a, (4, 3, 0, 1, 2)),
+        ti.t_linear: lambda a: np.transpose(a, (1, 0)),
+        ti.t_id: lambda a: a,
+    }
+    state = {}
+    rules = ti.mvit_rules(depth=6)
+    for src, (coll, dst), transform in rules:
+        key = (coll,) + tuple(dst)
+        if key not in leaves or src in state:
+            continue
+        state[src] = inverse[transform](leaves[key])
+    translated = ti.apply_rules(state, rules)
+    assert translated["unused"] == []
+    produced = set()
+    for p, _ in jax.tree_util.tree_leaves_with_path(translated["params"]):
+        produced.add(("params",) + tuple(getattr(k, "key") for k in p))
+    for key in produced:
+        assert key in leaves, key
+    assert len(produced) > 0.9 * len(leaves)
