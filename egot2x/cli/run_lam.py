@@ -47,6 +47,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bf16"],
                    help="activation dtype (bf16 for MXU throughput)")
+    p.add_argument("--model_parallel", action="store_true",
+                   help="shard wide trainable kernels over the mesh's "
+                        "model axis (tensor parallelism)")
+    p.add_argument("--precise_bn_batches", type=int, default=0,
+                   help="recompute exact BN stats over N train batches "
+                        "before validation (reference BN.USE_PRECISE_STATS)")
     return p
 
 
@@ -76,6 +82,8 @@ def main(argv=None):
         fast_dev_run=args.fast_dev_run,
         default_root_dir=os.path.join("logs", "lam", args.output_dir),
         seed=args.seed,
+        model_parallel=args.model_parallel,
+        precise_bn_batches=args.precise_bn_batches,
     )
     if args.eval:
         import jax

@@ -49,6 +49,12 @@ class Task:
     def val_loader(self):
         raise NotImplementedError
 
+    def bn_forward_args(self, batch):
+        """Positional model-apply args for a precise-BN forward on this
+        batch (reference BN.USE_PRECISE_STATS). None → the task does not
+        support precise BN and the Trainer hook is a no-op."""
+        return None
+
     # -- validation aggregation (host side) -------------------------------
     def start_validation(self) -> Any:
         """Create an aggregation context (reference PostProcessor)."""

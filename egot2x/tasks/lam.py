@@ -80,6 +80,9 @@ class LookingAtMe(Task):
         logits = state.apply_fn(state.variables(), batch["frames"], train=False)
         return {"scores": jax.nn.softmax(logits, axis=-1)[:, 1]}
 
+    def bn_forward_args(self, batch):
+        return (batch["frames"],)
+
     # -- data --------------------------------------------------------------
     def _dataset(self, split):
         c = self.cfg
