@@ -44,6 +44,10 @@ def build_argparser():
     p.add_argument("--num_actions", type=int, default=20)
     p.add_argument("--num_sequences_to_predict", type=int, default=5)
     p.add_argument("--aggregator", type=str, default="TransformerAggregator")
+    p.add_argument("--model", type=str, default=None,
+                   help="override the task's default backbone/model, e.g. "
+                        "MultiTaskMViT for classification (reference cfg "
+                        "MODEL.ARCH mvit, lta_models.py:96-106)")
     p.add_argument("--fast_dev_run", action="store_true")
     p.add_argument("--output_dir", type=str, default="debug")
     p.add_argument("--seed", type=int, default=0)
@@ -60,6 +64,8 @@ def main(argv=None):
     from egot2x.train.trainer import Trainer
 
     cfg = Config(vars(args))
+    if cfg.get("model") is None:
+        cfg.pop("model", None)  # let each task pick its own default
     if args.cfg:
         cfg.merge_yaml(args.cfg)
     if args.opts:

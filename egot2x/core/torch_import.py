@@ -376,9 +376,11 @@ def mvit_rules(depth: int = 16, num_heads_out: int = 2,
     """PySlowFast MViT state_dict → egot2x MViT tree.
 
     Source names per HOI/models/lta/video_model_builder.py:627-1408
-    (patch_embed.proj, blocks.{i}.{norm1,attn.{q,k,v,proj,pool_q,pool_k,
-    pool_v},norm2,mlp.fc1,mlp.fc2,proj}, cls_token, pos_embed, norm,
-    head.projection). Depthwise pool convs transform like conv3d.
+    (patch_embed.proj, blocks.{i}.{norm1,attn.{qkv,proj,pool_q,pool_k,
+    pool_v,norm_q,norm_k,norm_v},norm2,mlp.fc1,mlp.fc2,proj}, cls_token,
+    pos_embed, norm, head.projection). attn.qkv is the reference's FUSED
+    projection (:954); the per-head depthwise pool convs (head_dim
+    channels shared across heads, :985-1006) transform like conv3d.
     """
     d = dst_prefix
     rules = [
@@ -397,14 +399,21 @@ def mvit_rules(depth: int = 16, num_heads_out: int = 2,
                 (f"{sp}.{norm}.weight", ("params", dp + [norm, "scale"]), t_id),
                 (f"{sp}.{norm}.bias", ("params", dp + [norm, "bias"]), t_id),
             ]
-        for leaf in ("q", "k", "v", "proj"):
-            rules += _linear_rule(f"{sp}.attn.{leaf}", dp + ["attn", leaf])
+        rules += _linear_rule(f"{sp}.attn.qkv", dp + ["attn", "qkv"])
+        rules += _linear_rule(f"{sp}.attn.proj", dp + ["attn", "proj"])
         for pool in ("pool_q", "pool_k", "pool_v"):
             rules += _conv_rule(f"{sp}.attn.{pool}", dp + ["attn", pool],
                                 t_conv3d)
+        for pn in ("norm_q", "norm_k", "norm_v"):
+            rules += [
+                (f"{sp}.attn.{pn}.weight",
+                 ("params", dp + ["attn", pn, "scale"]), t_id),
+                (f"{sp}.attn.{pn}.bias",
+                 ("params", dp + ["attn", pn, "bias"]), t_id),
+            ]
         rules += _linear_rule(f"{sp}.mlp.fc1", dp + ["mlp_fc1"])
         rules += _linear_rule(f"{sp}.mlp.fc2", dp + ["mlp_fc2"])
-        rules += _linear_rule(f"{sp}.proj", dp + ["proj_residual"])
+        rules += _linear_rule(f"{sp}.proj", dp + ["proj"])
     for hi in range(num_heads_out):
         rules += _linear_rule(f"head.projection.{hi}",
                               d + [f"head_projection_{hi}"])

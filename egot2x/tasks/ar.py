@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from egot2x.core.registry import build_model
+
+import egot2x.nn.mvit  # noqa: F401 — register MViT backbones
 from egot2x.data.lta import Ego4dRecognitionDataset
 from egot2x.data.pipeline import BatchLoader
 from egot2x.metrics.lta import topk_accuracies
@@ -38,12 +40,22 @@ class MultiTaskClassificationTask(Task):
     def __init__(self, cfg):
         self.cfg = cfg
         c = cfg
-        self.model = build_model(
-            c.get("model", "MultiTaskSlowFast"),
-            num_classes=tuple(c.get("num_classes", (115, 478))),
-            alpha=c.get("alpha", 8),
-            beta_inv=c.get("beta_inv", 8),
-        )
+        name = c.get("model", "MultiTaskSlowFast")
+        if "MViT" in name:
+            # reference MViT consumes the 16-frame stream from the
+            # SlowFast pathways (video_model_builder.py:858-868)
+            self.model = build_model(
+                name,
+                num_classes=tuple(c.get("num_classes", (115, 478))),
+                num_frames=min(c.get("num_frames", 32), 16),
+            )
+        else:
+            self.model = build_model(
+                name,
+                num_classes=tuple(c.get("num_classes", (115, 478))),
+                alpha=c.get("alpha", 8),
+                beta_inv=c.get("beta_inv", 8),
+            )
 
     def _sample_inputs(self):
         c = self.cfg

@@ -15,6 +15,7 @@ run egot2x.cli.pnr_train --task state_change_detection_and_keyframe_localisation
 run egot2x.cli.pnr_train --task keyframe_localisation2loader --synthetic --fast_dev_run
 run egot2x.cli.pnr_train --task state_change_classification2loader --synthetic --fast_dev_run
 run egot2x.cli.run_lta --task classification --synthetic --fast_dev_run
+run egot2x.cli.run_lta --task classification --model MultiTaskMViT --synthetic --fast_dev_run
 run egot2x.cli.run_lta --task long_term_anticipation --synthetic --fast_dev_run
 run egot2x.cli.run_lta --task recognition2loader --synthetic --fast_dev_run
 run egot2x.cli.run_lta --task lta2loader --synthetic --fast_dev_run
