@@ -218,12 +218,31 @@ class Unified6TaskTranslation(Task):
         return out
 
     # -- validation ---------------------------------------------------------
+    # Mirrors PNRMetric/OSCCMetric/ARMetric/LTAMetric
+    # (HOI/evaluation/pnr/metrics.py:139-257, lta_metrics.py:164-310):
+    # out-of-subset rate from the FULL-vocab argmax, accuracy from the
+    # subset argmax, PNR keyframe localization error in SECONDS, and
+    # unique-id dedup of samples repeated by max_size_cycle. (The
+    # reference's compute() has its dedup `continue` commented out —
+    # :200, :256 — so it only *logs* duplicates; we apply the intended
+    # dedup by keeping each unique id's first occurrence.)
     def start_validation(self):
         return {"correct": defaultdict(int), "total": defaultdict(int),
-                "loss": []}
+                "oos": defaultdict(int), "loc_err": [], "loss": [],
+                "seen": defaultdict(set)}
 
     def _subset_argmax(self, logits, subset):
         return subset[np.argmax(logits[:, subset], axis=-1)]
+
+    @staticmethod
+    def _fresh(ctx, key, uids):
+        """Dedup mask: True where uid not seen before (first wins)."""
+        mask = []
+        for uid in uids:
+            uid = str(uid)
+            mask.append(uid not in ctx["seen"][key])
+            ctx["seen"][key].add(uid)
+        return np.asarray(mask, dtype=bool)
 
     def accumulate(self, ctx, outputs, batches):
         ctx["loss"].append(float(np.asarray(outputs["loss"])))
@@ -233,26 +252,52 @@ class Unified6TaskTranslation(Task):
                 continue
             logits = np.asarray(outputs[task])
             subset = self.subsets["pnr" if task == "pnr" else "oscc"]
-            pred = self._subset_argmax(logits, subset)
-            gold = np.asarray(pnr_batch[tkey])[:, 1]
-            ctx["correct"][task] += int((pred == gold).sum())
-            ctx["total"][task] += len(pred)
+            keep = self._fresh(ctx, task, pnr_batch["unique_id"])
+            full_pred = np.argmax(logits, axis=-1)
+            ctx["oos"][task] += int((~np.isin(full_pred, subset))[keep].sum())
+            pred_tok = self._subset_argmax(logits, subset)
+            gold_tok = np.asarray(pnr_batch[tkey])[:, 1]
+            ctx["correct"][task] += int((pred_tok == gold_tok)[keep].sum())
+            ctx["total"][task] += int(keep.sum())
+            if task == "pnr":
+                # keyframe localization error in seconds
+                # (PNRMetric.update, metrics.py:170-188)
+                pred_idx = np.argmax(logits[:, subset], axis=-1)
+                start = np.asarray(pnr_batch["clip_start_frame"], np.float64)
+                end = np.asarray(pnr_batch["clip_end_frame"], np.float64)
+                fps = np.asarray(pnr_batch["fps"], np.float64)
+                pnr_frame = np.asarray(pnr_batch["pnr_frame"], np.float64)
+                mapped = (end - start) / 16.0 * pred_idx
+                gt = pnr_frame - start
+                err_sec = np.abs(mapped - gt) / np.maximum(fps, 1e-6)
+                valid = keep & (pnr_frame >= 0)
+                ctx["loc_err"].extend(err_sec[valid].tolist())
         for src in ("action", "lta"):
             if f"{src}_verb" not in outputs:
                 continue
             batch = batches[src]
+            keep = (self._fresh(ctx, src, batch["clip_uid"])
+                    if src == "lta" else
+                    np.ones(len(batch["clip_uid"]), dtype=bool))
             for sub in ("verb", "noun"):
                 logits = np.asarray(outputs[f"{src}_{sub}"])
-                pred = self._subset_argmax(logits, self.subsets[sub])
-                gold = np.asarray(batch[f"target_{sub}"])[:, 1]
+                subset = self.subsets[sub]
+                full_pred = np.argmax(logits, axis=-1)
                 key = f"{src}_{sub}"
-                ctx["correct"][key] += int((pred == gold).sum())
-                ctx["total"][key] += len(pred)
+                ctx["oos"][key] += int((~np.isin(full_pred, subset))[keep].sum())
+                pred_tok = self._subset_argmax(logits, subset)
+                gold_tok = np.asarray(batch[f"target_{sub}"])[:, 1]
+                ctx["correct"][key] += int((pred_tok == gold_tok)[keep].sum())
+                ctx["total"][key] += int(keep.sum())
 
     def finalize_validation(self, ctx) -> Dict[str, float]:
         out = {"val_loss": float(np.mean(ctx["loss"])) if ctx["loss"] else 0.0}
         for key in ctx["total"]:
-            out[f"val_{key}_acc"] = ctx["correct"][key] / max(ctx["total"][key], 1)
+            n = max(ctx["total"][key], 1)
+            out[f"val_{key}_acc"] = ctx["correct"][key] / n
+            out[f"val_{key}_oos_rate"] = ctx["oos"][key] / n
+        if ctx["loc_err"]:
+            out["val_pnr_loc_err_sec"] = float(np.mean(ctx["loc_err"]))
         return out
 
 
