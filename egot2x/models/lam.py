@@ -27,14 +27,18 @@ class LAMTrunk(nn.Module):
     """Shared resnet18-per-frame + BiLSTM trunk."""
 
     img_feature_dim: int = 256
+    quant: bool = False  # int8 static-PTQ conv trunk (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, video: jax.Array, train: bool = False, middle: bool = False):
+    def __call__(self, video: jax.Array, train: bool = False, middle: bool = False,
+                 calibrate: bool = False):
         n, t, h, w, c = video.shape
         frames = video.reshape(n * t, h, w, c)
-        feats = ResNet2D(num_classes=self.img_feature_dim, dtype=self.dtype,
-                         name="base_model")(frames, train=train)
+        feats = ResNet2D(num_classes=self.img_feature_dim, quant=self.quant,
+                         dtype=self.dtype,
+                         name="base_model")(frames, train=train,
+                                            calibrate=calibrate)
         feats = feats.reshape(n, t, self.img_feature_dim)
         if middle:
             # Per-frame token sequence for EgoT2 translators
@@ -70,13 +74,16 @@ class LAMBackbone(nn.Module):
     """
 
     img_feature_dim: int = 256
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, video: jax.Array, middle: bool = False):
+    def __call__(self, video: jax.Array, middle: bool = False,
+                 calibrate: bool = False):
         # Frozen semantics: always eval-mode BN (running stats).
-        return LAMTrunk(self.img_feature_dim, dtype=self.dtype, name="trunk")(
-            video, train=False, middle=middle
+        return LAMTrunk(self.img_feature_dim, quant=self.quant,
+                        dtype=self.dtype, name="trunk")(
+            video, train=False, middle=middle, calibrate=calibrate
         )
 
 

@@ -23,15 +23,18 @@ Dtype = Any
 
 class TTMTrunk(nn.Module):
     img_feature_dim: int = 256
+    quant: bool = False  # int8 static-PTQ conv trunk (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, video: jax.Array, audio: jax.Array, train: bool = False,
-                 middle: bool = False):
+                 middle: bool = False, calibrate: bool = False):
         n, t, h, w, c = video.shape
         frames = video.reshape(n * t, h, w, c)
-        video_out = ResNet2D(num_classes=self.img_feature_dim, dtype=self.dtype,
-                             name="video_encoder")(frames, train=train)
+        video_out = ResNet2D(num_classes=self.img_feature_dim, quant=self.quant,
+                             dtype=self.dtype,
+                             name="video_encoder")(frames, train=train,
+                                                   calibrate=calibrate)
         video_out = video_out.reshape(n, t, self.img_feature_dim)
         if middle:
             return video_out  # (N, T, 256) tokens for translators
@@ -64,10 +67,13 @@ class TTMBackbone(nn.Module):
     """Frozen TTM feature extractor for Stage-II translators."""
 
     img_feature_dim: int = 256
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, video: jax.Array, audio: jax.Array, middle: bool = False):
-        return TTMTrunk(self.img_feature_dim, dtype=self.dtype, name="trunk")(
-            video, audio, train=False, middle=middle
+    def __call__(self, video: jax.Array, audio: jax.Array, middle: bool = False,
+                 calibrate: bool = False):
+        return TTMTrunk(self.img_feature_dim, quant=self.quant,
+                        dtype=self.dtype, name="trunk")(
+            video, audio, train=False, middle=middle, calibrate=calibrate
         )

@@ -30,26 +30,39 @@ Dtype = Any
 class BasicBlock2D(nn.Module):
     filters: int
     stride: int = 1
+    quant: bool = False  # int8 static-PTQ convs (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
+    def _conv(self, features, kernel, stride, name):
+        if self.quant:
+            from egot2x.nn.quant import QuantConv
+
+            return QuantConv(features, kernel, strides=(stride, stride),
+                             padding=[(kernel[0] // 2,) * 2,
+                                      (kernel[1] // 2,) * 2],
+                             dtype=self.dtype, name=name)
+        conv = nn.Conv(features, kernel, strides=(stride, stride),
+                       padding=[(kernel[0] // 2,) * 2, (kernel[1] // 2,) * 2],
+                       use_bias=False, dtype=self.dtype, name=name)
+        return lambda x, calibrate=False: conv(x)
+
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 calibrate: bool = False) -> jax.Array:
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         identity = x
-        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = self._conv(self.filters, (3, 3), self.stride, "conv1")(
+            x, calibrate=calibrate)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = self._conv(self.filters, (3, 3), 1, "conv2")(y, calibrate=calibrate)
         y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.filters:
-            identity = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            identity = self._conv(self.filters, (1, 1), self.stride,
+                                  "downsample_conv")(x, calibrate=calibrate)
             identity = norm("downsample_bn")(identity)
         return nn.relu(y + identity)
 
@@ -116,14 +129,23 @@ class ResNet2D(nn.Module):
     fc2_features: int = 1000
     width: int = 64
     fused_stem: bool = False
+    quant: bool = False  # int8 static-PTQ convs (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 features_only: bool = False) -> jax.Array:
+                 features_only: bool = False,
+                 calibrate: bool = False) -> jax.Array:
         # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool.
-        y = _StemConv(self.width, self.fused_stem, dtype=self.dtype,
-                      name="conv1")(x)
+        if self.quant:
+            from egot2x.nn.quant import QuantConv
+
+            y = QuantConv(self.width, (7, 7), strides=(2, 2),
+                          padding=[(3, 3), (3, 3)], dtype=self.dtype,
+                          name="conv1")(x, calibrate=calibrate)
+        else:
+            y = _StemConv(self.width, self.fused_stem, dtype=self.dtype,
+                          name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
@@ -132,8 +154,10 @@ class ResNet2D(nn.Module):
             filters = self.width * (2 ** stage)
             for b in range(blocks):
                 stride = 2 if stage > 0 and b == 0 else 1
-                y = BasicBlock2D(filters, stride, dtype=self.dtype,
-                                 name=f"layer{stage + 1}_{b}")(y, train=train)
+                y = BasicBlock2D(filters, stride, quant=self.quant,
+                                 dtype=self.dtype,
+                                 name=f"layer{stage + 1}_{b}")(
+                    y, train=train, calibrate=calibrate)
         y = jnp.mean(y, axis=(1, 2))  # global average pool → (B, 512)
         if features_only:
             return y

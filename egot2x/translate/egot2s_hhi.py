@@ -58,6 +58,7 @@ class _FusionBase(nn.Module):
     num_layers: int = 3
     dropout: float = 0.1
     nofreeze: bool = False
+    quant: bool = False  # int8 static-PTQ resnet trunks (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
     def _asd_tokens(self, video_asd, audio_asd, deterministic=True):
@@ -142,14 +143,17 @@ class TaskFusionMFTransformer3Task(_FusionBase):
 
     @nn.compact
     def __call__(self, video, video_asd, audio, audio_asd, train: bool = False,
-                 deterministic: Optional[bool] = None):
+                 deterministic: Optional[bool] = None,
+                 calibrate: bool = False):
         deterministic = not train if deterministic is None else deterministic
         asd_out = self._maybe_freeze(
             self._asd_tokens(video_asd, audio_asd, deterministic=True))
         lam_out = self._maybe_freeze(
-            LAMBackbone(dtype=self.dtype, name="lam_model")(video, middle=True))
+            LAMBackbone(quant=self.quant, dtype=self.dtype, name="lam_model")(
+                video, middle=True, calibrate=calibrate))
         ttm_out = self._maybe_freeze(
-            TTMBackbone(dtype=self.dtype, name="ttm_model")(video, audio, middle=True))
+            TTMBackbone(quant=self.quant, dtype=self.dtype, name="ttm_model")(
+                video, audio, middle=True, calibrate=calibrate))
         out = _MFTransformerCore(
             3, self.hidden_dim, self.num_heads, self.num_layers, self.dropout,
             dtype=self.dtype, name="core",
