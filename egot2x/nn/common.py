@@ -59,10 +59,17 @@ class PositionalEncoding(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """Standard MHA matching ``torch.nn.MultiheadAttention`` (bias=True)."""
+    """Standard MHA matching ``torch.nn.MultiheadAttention`` (bias=True).
+
+    ``dropout_rate`` drops attention *probabilities* when not
+    deterministic — torch passes the layer dropout into
+    nn.MultiheadAttention, a training-regularization effect the fused
+    path skipped (ADVICE r1 #5). Eval parity is unaffected (dropout off).
+    """
 
     d_model: int
     num_heads: int
+    dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -73,6 +80,7 @@ class MultiHeadAttention(nn.Module):
         value: jax.Array,  # (B, S, D)
         mask: Optional[jax.Array] = None,  # (B, 1|H, T, S) True=keep
         is_causal: bool = False,
+        deterministic: bool = True,
         return_weights: bool = False,
     ):
         assert self.d_model % self.num_heads == 0
@@ -86,7 +94,21 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(b, t, self.num_heads, dh)
         k = k.reshape(b, s, self.num_heads, dh)
         v = v.reshape(b, s, self.num_heads, dh)
-        out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal)
+        if self.dropout_rate > 0.0 and not deterministic:
+            # explicit path: the fused kernel has no prob-dropout hook
+            scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+            logits = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+            if mask is not None:
+                logits = jnp.where(mask, logits, -jnp.inf)
+            if is_causal:
+                causal = jnp.tril(jnp.ones((t, s), dtype=bool))
+                logits = jnp.where(causal[None, None], logits, -jnp.inf)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(self.dropout_rate)(probs,
+                                                  deterministic=False)
+            out = jnp.einsum("bhts,bshd->bthd", probs, v)
+        else:
+            out = dot_product_attention(q, k, v, mask=mask, is_causal=is_causal)
         out = out.reshape(b, t, self.d_model)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
         if return_weights:
@@ -122,8 +144,10 @@ class TransformerEncoderLayer(nn.Module):
         mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        attn = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype, name="self_attn")(
-            x, x, x, mask=mask
+        attn = MultiHeadAttention(self.d_model, self.num_heads,
+                                  dropout_rate=self.dropout,
+                                  dtype=self.dtype, name="self_attn")(
+            x, x, x, mask=mask, deterministic=deterministic
         )
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -190,18 +214,25 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
         return_weights: bool = False,
     ):
-        sa = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype, name="self_attn")(
-            tgt, tgt, tgt, mask=tgt_mask, is_causal=is_causal
+        sa = MultiHeadAttention(self.d_model, self.num_heads,
+                                dropout_rate=self.dropout,
+                                dtype=self.dtype, name="self_attn")(
+            tgt, tgt, tgt, mask=tgt_mask, is_causal=is_causal,
+            deterministic=deterministic
         )
         x = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         mha = MultiHeadAttention(
-            self.d_model, self.num_heads, dtype=self.dtype, name="multihead_attn"
+            self.d_model, self.num_heads, dropout_rate=self.dropout,
+            dtype=self.dtype, name="multihead_attn"
         )
         if return_weights:
-            ca, weights = mha(x, memory, memory, mask=memory_mask, return_weights=True)
+            ca, weights = mha(x, memory, memory, mask=memory_mask,
+                              deterministic=deterministic,
+                              return_weights=True)
         else:
-            ca, weights = mha(x, memory, memory, mask=memory_mask), None
+            ca, weights = mha(x, memory, memory, mask=memory_mask,
+                              deterministic=deterministic), None
         x = x + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)

@@ -222,8 +222,10 @@ class CrossAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, src: jax.Array, tar: jax.Array,
                  deterministic: bool = True) -> jax.Array:
-        attn = MultiHeadAttention(self.d_model, self.num_heads, dtype=self.dtype,
-                                  name="self_attn")(tar, src, src)
+        attn = MultiHeadAttention(self.d_model, self.num_heads,
+                                  dropout_rate=self.dropout, dtype=self.dtype,
+                                  name="self_attn")(
+            tar, src, src, deterministic=deterministic)
         x = tar + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = nn.Dense(self.d_model * 4, dtype=self.dtype, name="linear1")(x)

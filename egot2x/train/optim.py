@@ -46,9 +46,11 @@ def lr_schedule(
         )
     elif policy == "steps_with_relative_lrs":
         assert steps is not None and lrs is not None
-        # piecewise constant: lr = base_lr * lrs[i] for step in [steps[i], steps[i+1])
+        # piecewise constant: lr = lrs[i] for step in [steps[i], steps[i+1]).
+        # The reference returns cfg.SOLVER.LRS[ind] DIRECTLY — no base_lr
+        # factor (HOI/optimizers/lta/lr_policy.py:43); ADVICE r1 #4.
         scales = {int(s): float(lrs[i + 1] / lrs[i]) for i, s in enumerate(steps[1:])}
-        sched = optax.piecewise_constant_schedule(base_lr * lrs[0], scales)
+        sched = optax.piecewise_constant_schedule(float(lrs[0]), scales)
     else:
         raise ValueError(f"Unknown lr policy {policy!r}")
     return sched
