@@ -16,8 +16,9 @@ import tempfile
 def build_argparser():
     p = argparse.ArgumentParser(description="Ego4D HOI EgoT2-g (egot2x)")
     p.add_argument("--task", type=str, default="unify6task",
-                   choices=["unify6task", "unify3task", "task12",
-                            "action_only"])
+                   choices=["unify6task", "unify3task", "unify4task",
+                            "unify4taskaction", "task12", "pnr_only",
+                            "oscc_only", "action_only"])
     p.add_argument("--pnr_root", type=str, default="../data/pnr")
     p.add_argument("--lta_root", type=str, default="../data/lta")
     p.add_argument("--taxonomy", type=str, default=None)
@@ -44,6 +45,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    from egot2x.core.dist import maybe_initialize_from_env
+
+    maybe_initialize_from_env()  # multi-host bring-up (no-op single process)
     args = build_argparser().parse_args(argv)
     from egot2x.core.config import Config
     import egot2x.tasks.multitask_hoi as mt
@@ -52,7 +56,11 @@ def main(argv=None):
     TASK_CLASSES = {
         "unify6task": mt.Unified6TaskTranslation,
         "unify3task": mt.Unified3TaskTranslation,
+        "unify4task": mt.Unified4TaskTranslation,
+        "unify4taskaction": mt.Unified4TaskTranslationAction,
         "task12": mt.Task12Translation,
+        "pnr_only": mt.PnrOnlyTaskTranslation,
+        "oscc_only": mt.OsccOnlyTaskTranslation,
         "action_only": mt.ActionOnlyTranslation,
     }
 

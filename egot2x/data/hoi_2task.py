@@ -124,6 +124,13 @@ class RecognitionSeqDataset(RecognitionWithAuxDataset):
             [v["action_verb"], v[verb_tok], v["</s>"]], dtype=np.int64)
         item["target_noun"] = np.asarray(
             [v["action_noun"], v[noun_tok], v["</s>"]], dtype=np.int64)
+        # combined decode for unify3task: [<action>, verb, noun, </s>]
+        # (Ego4dRecognitionwithAuxTaskSequenceLabel :322-336; 'action'
+        # is absent from the vocab so it resolves to <unk>, matching
+        # the reference's torchtext default_index behavior)
+        item["target_action"] = np.asarray(
+            [v["action"], v[verb_tok], v[noun_tok], v["</s>"]],
+            dtype=np.int64)
         return item
 
 

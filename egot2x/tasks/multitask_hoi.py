@@ -52,9 +52,14 @@ DECODES = [
 class Unified6TaskTranslation(Task):
     checkpoint_metric = "val_loss"
     checkpoint_mode = "min"
-    # subset selection (reference tasks unify3task/pnr_only/... —
-    # HOI/scripts/multitask/run.py:18-62); None = all six decodes
+    # subset selection (reference tasks unify3task/unify4task/pnr_only/
+    # oscc_only/... — HOI/scripts/multitask/run.py:18-62). Sources gate
+    # the loaders; decode_rows gate which decodes train/validate.
     active_sources = ("pnr", "action", "lta")
+    decode_rows = tuple(DECODES)
+
+    def _active_decodes(self):
+        return [r for r in self.decode_rows if r[0] in self.active_sources]
 
     def __init__(self, cfg):
         import os
@@ -168,9 +173,7 @@ class Unified6TaskTranslation(Task):
             full = merge_trees(state.frozen, params) if state.frozen else params
             variables = {"params": full, "batch_stats": state.batch_stats}
             total = 0.0
-            for di, (src, tkey, task) in enumerate(DECODES):
-                if src not in self.active_sources:
-                    continue
+            for di, (src, tkey, task) in enumerate(self._active_decodes()):
                 batch = batches[src]
                 tgt = batch[tkey]
                 logits = state.apply_fn(
@@ -178,7 +181,8 @@ class Unified6TaskTranslation(Task):
                     tgt[:, :-1], task, train=True,
                     rngs={"dropout": jax.random.fold_in(rng, di)},
                 )
-                total = total + self.ratios[di] * seq_ce(logits, tgt[:, 1:])
+                ratio = self.ratios[di] if di < len(self.ratios) else 1.0
+                total = total + ratio * seq_ce(logits, tgt[:, 1:])
             return total
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -188,15 +192,24 @@ class Unified6TaskTranslation(Task):
     def eval_step(self, state: TrainState, batches):
         variables = state.variables()
         out = {}
+        rows = self._active_decodes()
+        names = {task for _, _, task in rows}
         # pnr/oscc: 1-step predict over full vocab
-        if "pnr" in self.active_sources:
-            pnr_batch = batches["pnr"]
-            for task in ("pnr", "oscc"):
+        for task in ("pnr", "oscc"):
+            if task in names:
                 out[task] = state.apply_fn(
-                    variables, *self._model_args("pnr", pnr_batch, task), task,
-                    method="predict")
+                    variables, *self._model_args("pnr", batches["pnr"], task),
+                    task, method="predict")
+        if "action_joint" in names:
+            # combined [action] verb noun decode (reference unify3task)
+            preds = state.apply_fn(
+                variables, *self._model_args("action", batches["action"],
+                                             "action_joint"),
+                "action_joint", method="predict")
+            out["action_verb"] = preds["verb"]
+            out["action_noun"] = preds["noun"]
         for src, task in (("action", "action"), ("lta", "lta")):
-            if src not in self.active_sources:
+            if task not in names:
                 continue
             preds = state.apply_fn(
                 variables, *self._model_args(src, batches[src], task), task,
@@ -205,15 +218,14 @@ class Unified6TaskTranslation(Task):
             out[f"{task}_noun"] = preds["noun"]
         # teacher-forced loss
         total = 0.0
-        for di, (src, tkey, task) in enumerate(DECODES):
-            if src not in self.active_sources:
-                continue
+        for di, (src, tkey, task) in enumerate(rows):
             batch = batches[src]
             tgt = batch[tkey]
             logits = state.apply_fn(
                 variables, *self._model_args(src, batch, task), tgt[:, :-1],
                 task, train=False)
-            total = total + self.ratios[di] * seq_ce(logits, tgt[:, 1:])
+            ratio = self.ratios[di] if di < len(self.ratios) else 1.0
+            total = total + ratio * seq_ce(logits, tgt[:, 1:])
         out["loss"] = total
         return out
 
@@ -302,15 +314,56 @@ class Unified6TaskTranslation(Task):
 
 
 class Unified3TaskTranslation(Unified6TaskTranslation):
-    """pnr + oscc + action decodes (reference unify3task)."""
+    """pnr + oscc + ONE combined action decode (reference unify3task,
+    video_task.py:169-203: target_seq = [<action>, verb, noun, </s>]
+    via Ego4dRecognitionwithAuxTaskSequenceLabel — note the reference
+    vocab has no 'action' token, so torchtext's default_index maps the
+    BOS prompt to <unk>; our Vocab mirrors that)."""
 
     active_sources = ("pnr", "action")
+    decode_rows = (
+        ("pnr", "target_pnr", "pnr"),
+        ("pnr", "target_oscc", "oscc"),
+        ("action", "target_action", "action_joint"),
+    )
+
+
+class Unified4TaskTranslation(Unified6TaskTranslation):
+    """pnr + oscc + separate action verb/noun decodes (reference
+    unify4task, video_task.py:342-525)."""
+
+    active_sources = ("pnr", "action")
+
+
+class Unified4TaskTranslationAction(Unified6TaskTranslation):
+    """action + lta verb/noun decodes, no pnr streams (reference
+    unify4taskaction, video_task_action.py:19-120; the reference uses a
+    dedicated 2-stream prompt model — here the unified model simply
+    omits the pnr loader/decodes, a documented simplification)."""
+
+    active_sources = ("action", "lta")
 
 
 class Task12Translation(Unified6TaskTranslation):
     """pnr + oscc only (reference task12)."""
 
     active_sources = ("pnr",)
+
+
+class PnrOnlyTaskTranslation(Unified6TaskTranslation):
+    """Single pnr decode (reference pnr_only,
+    video_task_separate.py:24-115)."""
+
+    active_sources = ("pnr",)
+    decode_rows = (("pnr", "target_pnr", "pnr"),)
+
+
+class OsccOnlyTaskTranslation(Unified6TaskTranslation):
+    """Single oscc decode (reference oscc_only,
+    video_task_separate.py:117-208)."""
+
+    active_sources = ("pnr",)
+    decode_rows = (("pnr", "target_oscc", "oscc"),)
 
 
 class ActionOnlyTranslation(Unified6TaskTranslation):

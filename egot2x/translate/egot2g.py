@@ -308,9 +308,20 @@ class TaskTranslationPromptTransformer6Task(nn.Module):
 
     def predict(self, frames_pnr, pathways, task: str):
         """Greedy decode. 'pnr'/'oscc': 1 step. 'action'/'lta': verb and
-        noun branches (2 decodes), returns dict of first-step logits."""
+        noun branches (2 decodes), returns dict of first-step logits.
+        'action_joint': 2-step greedy from the <unk> BOS (the reference
+        unify3task prompts with vocab['action'], which torchtext maps to
+        <unk> since 'action' is not in the vocab)."""
         encoded = self.encode(frames_pnr, pathways, task, True)
         b = encoded.shape[0]
+        if task == "action_joint":
+            unk = 9  # build_hoi_vocab layout: ... "</s>"=8, "<unk>"=9
+            bos = jnp.full((b, 1), unk, jnp.int32)
+            verb_logits = self.core.decode(bos, encoded, True)[:, 0]
+            tok1 = jnp.argmax(verb_logits, axis=-1).astype(jnp.int32)
+            y2 = jnp.concatenate([bos, tok1[:, None]], axis=1)
+            noun_logits = self.core.decode(y2, encoded, True)[:, 1]
+            return {"verb": verb_logits, "noun": noun_logits}
         if task in ("action", "lta"):
             out = {}
             for sub in ("verb", "noun"):

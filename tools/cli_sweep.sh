@@ -23,6 +23,12 @@ run egot2x.cli.run_multitask --synthetic --fast_dev_run
 run egot2x.cli.run_multitask --task unified --synthetic --fast_dev_run
 run egot2x.cli.multitask_run --task unify6task --synthetic --fast_dev_run
 run egot2x.cli.multitask_run --task unify3task --synthetic --fast_dev_run
+run egot2x.cli.multitask_run --task unify4task --synthetic --fast_dev_run
+run egot2x.cli.multitask_run --task unify4taskaction --synthetic --fast_dev_run
+run egot2x.cli.multitask_run --task pnr_only --synthetic --fast_dev_run
+run egot2x.cli.multitask_run --task oscc_only --synthetic --fast_dev_run
+run egot2x.cli.run_lta --task long_term_anticipation_seq --synthetic --fast_dev_run
+run egot2x.cli.run_lta --task long_term_anticipation_separateseq --synthetic --fast_dev_run
 run egot2x.cli.submit --target oscc --synthetic
 run egot2x.cli.submit --target ttm --synthetic
 echo "SWEEP DONE"
