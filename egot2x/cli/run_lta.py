@@ -17,6 +17,10 @@ import tempfile
 TASKS = {
     "classification": ("egot2x.tasks.ar", "MultiTaskClassificationTask"),
     "long_term_anticipation": ("egot2x.tasks.lta", "LongTermAnticipationTask"),
+    "long_term_anticipation_seq":
+        ("egot2x.tasks.lta", "LongTermAnticipationTaskSeq"),
+    "long_term_anticipation_separateseq":
+        ("egot2x.tasks.lta", "LongTermAnticipationTaskSeparateSeq"),
     "recognition2loader": ("egot2x.tasks.ar_2loader", "RecognitionTask2Loader"),
     "lta2loader": ("egot2x.tasks.lta_2loader", "LTA2Loader"),
 }
@@ -57,6 +61,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    from egot2x.core.dist import maybe_initialize_from_env
+
+    maybe_initialize_from_env()  # multi-host bring-up (no-op single process)
     import importlib
 
     args = build_argparser().parse_args(argv)
@@ -87,6 +94,10 @@ def main(argv=None):
         cfg.batch_size = min(cfg.batch_size, 2)
         cfg.num_classes = [10, 12]
         cfg.num_workers = 2
+        if cfg.task.endswith("seq"):
+            cfg.seq_decoder_dim = 64
+            cfg.num_layers = 1
+            cfg.num_actions = 4
         if cfg.task.endswith("2loader"):
             cfg.pnr_crop = 65
             cfg.pnr_frames = 8

@@ -201,3 +201,50 @@ class Ego4dLtaDataset(Ego4dRecognitionDataset):
             "noun": noun,  # (Z,)
             "clip_uid": f"{last['clip_uid']}:{last.get('action_idx', index)}",
         }
+
+
+class Ego4dLtaSeqDataset(Ego4dLtaDataset):
+    """Joint seq-label LTA targets: [<action>, v1, n1, ..., vZ, nZ, </s>]
+    (reference Ego4dLongTermAnticipationSequenceLabel,
+    long_term_anticipation.py:460-478; 'action' is absent from the vocab
+    and resolves to <unk>, mirroring torchtext's default_index)."""
+
+    def __init__(self, vocab, verb_dict, noun_dict, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vocab = vocab
+        self.verb_dict = verb_dict
+        self.noun_dict = noun_dict
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        v = self.vocab
+        seq = [v["action"]]
+        for vb, nb in zip(item["verb"], item["noun"]):
+            seq.append(v[self.verb_dict[int(vb)]])
+            seq.append(v[self.noun_dict[int(nb)]])
+        seq.append(v["</s>"])
+        item["target_seq"] = np.asarray(seq, dtype=np.int64)
+        return item
+
+
+class Ego4dLtaSeparateSeqDataset(Ego4dLtaDataset):
+    """Separate verb/noun seq-label targets: [lta_verb, v1..vZ, </s>] and
+    [lta_noun, n1..nZ, </s>] (reference
+    Ego4dLongTermAnticipationSeparateSequenceLabel, :482-503)."""
+
+    def __init__(self, vocab, verb_dict, noun_dict, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vocab = vocab
+        self.verb_dict = verb_dict
+        self.noun_dict = noun_dict
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        v = self.vocab
+        verbs = [v[self.verb_dict[int(x)]] for x in item["verb"]]
+        nouns = [v[self.noun_dict[int(x)]] for x in item["noun"]]
+        item["target_seq_verb"] = np.asarray(
+            [v["lta_verb"]] + verbs + [v["</s>"]], dtype=np.int64)
+        item["target_seq_noun"] = np.asarray(
+            [v["lta_noun"]] + nouns + [v["</s>"]], dtype=np.int64)
+        return item

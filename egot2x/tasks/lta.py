@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from egot2x.core.registry import build_model
-from egot2x.data.lta import Ego4dLtaDataset
+from egot2x.data.lta import (Ego4dLtaDataset, Ego4dLtaSeparateSeqDataset,
+                             Ego4dLtaSeqDataset)
 from egot2x.data.pipeline import BatchLoader
 from egot2x.metrics.lta import aued
 from egot2x.tasks.base import Task
@@ -25,6 +26,7 @@ from egot2x.train.optim import construct_optimizer, lr_schedule
 from egot2x.train.state import TrainState
 
 import egot2x.models.ar_lta  # noqa: F401 — register models
+import egot2x.models.lta_seqdecoder  # noqa: F401 — register seq decoders
 
 
 class LongTermAnticipationTask(Task):
@@ -161,3 +163,119 @@ class LongTermAnticipationTask(Task):
             out[uid] = {"verb": vp.tolist(), "noun": np_p.tolist()}
         with open(path, "w") as f:
             json.dump(out, f)
+
+
+class LongTermAnticipationTaskSeq(LongTermAnticipationTask):
+    """Seq-label LTA training: one joint [<action>, v, n, ...] decode
+    (reference LongTermAnticipationTaskSeq,
+    long_term_anticipation.py:298-348)."""
+
+    checkpoint_metric = "val_verb_ED20"
+    checkpoint_mode = "min"
+    dataset_cls = Ego4dLtaSeqDataset
+    model_name = "ForecastingEncoderSeqDecoder"
+
+    def __init__(self, cfg):
+        import os
+
+        from egot2x.translate.vocab import build_hoi_vocab, map_label_to_action
+
+        self.cfg = cfg
+        c = cfg
+        self.num_actions = c.get("num_actions", 20)
+        self.k = c.get("num_sequences_to_predict", 5)
+        tax = c.get("taxonomy") or os.path.join(c.data_root,
+                                                "fho_lta_taxonomy.json")
+        self.vocab = build_hoi_vocab(tax)
+        self.verb_dict, self.noun_dict = map_label_to_action(tax)
+        verb_ids = tuple(self.vocab[self.verb_dict[i]]
+                         for i in range(len(self.verb_dict)))
+        noun_ids = tuple(self.vocab[self.noun_dict[i]]
+                         for i in range(len(self.noun_dict)))
+        self.model = build_model(
+            self.model_name,
+            vocab_size=len(self.vocab), verb_ids=verb_ids, noun_ids=noun_ids,
+            dim=c.get("seq_decoder_dim", 2048),
+            num_heads=c.get("num_heads", 8),
+            num_layers=c.get("num_layers", 6),
+            num_actions=self.num_actions,
+            alpha=c.get("alpha", 8), beta_inv=c.get("beta_inv", 8),
+            **self._model_extra(),
+        )
+
+    def _model_extra(self):
+        return {"bos_token": self.vocab["action"]}
+
+    def build_state(self, rng: jax.Array) -> TrainState:
+        c = self.cfg
+        tgt = jnp.zeros((1, 2), jnp.int32)
+        variables = self.model.init(rng, self._sample_inputs(), tgt,
+                                    train=False)
+        sched = lr_schedule(c.get("lr_policy", "cosine_warmup"), c.lr,
+                            c.get("total_steps", 10000),
+                            warmup_steps=c.get("warmup_steps", 100))
+        tx = construct_optimizer(variables["params"],
+                                 method=c.get("optimizer", "sgd"),
+                                 lr=sched, weight_decay=c.get("wd", 1e-4))
+        return TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=tx,
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    def _targets(self, batch):
+        return [batch["target_seq"]]
+
+    def train_step(self, state: TrainState, batch, rng):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            total = 0.0
+            new_stats = state.batch_stats
+            for ti, tgt in enumerate(self._targets(batch)):
+                logits, mutated = state.apply_fn(
+                    variables, self._pathways(batch), tgt[:, :-1], train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.fold_in(rng, ti)},
+                )
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                total = total - jnp.mean(
+                    jnp.take_along_axis(logp, tgt[:, 1:, None], axis=-1))
+                new_stats = mutated["batch_stats"]
+            return total, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, {"loss": loss}
+
+    def eval_step(self, state: TrainState, batch, rng=None):
+        rng = jax.random.key(0) if rng is None else rng
+        preds = state.apply_fn(state.variables(), self._pathways(batch),
+                               k=self.k, rng=rng, method="generate")
+        return {"verb_preds": preds[0], "noun_preds": preds[1]}
+
+    def _dataset(self, split):
+        c = self.cfg
+        return self.dataset_cls(
+            self.vocab, self.verb_dict, self.noun_dict,
+            c.data_root, split=split,
+            num_input_clips=c.get("num_input_clips", 2),
+            num_actions=self.num_actions,
+            num_frames=c.get("num_frames", 32), alpha=c.get("alpha", 8),
+            crop_size=c.get("crop_size", 224), seed=c.seed,
+        )
+
+
+class LongTermAnticipationTaskSeparateSeq(LongTermAnticipationTaskSeq):
+    """Separate verb/noun seq decodes from the lta_verb/lta_noun prompts
+    (reference LongTermAnticipationTaskSeparateSeq, :350-409)."""
+
+    dataset_cls = Ego4dLtaSeparateSeqDataset
+    model_name = "ForecastingEncoderSeparateSeqDecoder"
+
+    def _model_extra(self):
+        return {"verb_bos": self.vocab["lta_verb"],
+                "noun_bos": self.vocab["lta_noun"]}
+
+    def _targets(self, batch):
+        return [batch["target_seq_verb"], batch["target_seq_noun"]]
