@@ -40,6 +40,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from egot2x.core.dist import maybe_initialize_from_env
+
+    maybe_initialize_from_env()  # multi-host bring-up (no-op single process)
     args = build_argparser().parse_args(argv)
     from egot2x.core.config import Config
     from egot2x.tasks.asd import ActiveSpeakerDetection

@@ -42,6 +42,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    from egot2x.core.dist import maybe_initialize_from_env
+
+    maybe_initialize_from_env()  # multi-host bring-up (no-op single process)
     args = build_argparser().parse_args(argv)
     from egot2x.core.config import Config
     from egot2x.tasks.multitask_hhi import Unified3Task, Unified3TaskTranslation

@@ -98,6 +98,9 @@ def _make_task(args):
 
 
 def main(argv=None):
+    from egot2x.core.dist import maybe_initialize_from_env
+
+    maybe_initialize_from_env()  # multi-host bring-up (no-op single process)
     import jax
 
     args = build_argparser().parse_args(argv)

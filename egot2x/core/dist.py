@@ -19,6 +19,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def maybe_initialize_from_env() -> int:
+    """Multi-host bring-up (reference reaches multi-node via Lightning/
+    submitit env plumbing, HOI/scripts/lta/run_lta.py:238-288; the JAX
+    equivalent is jax.distributed.initialize before first device use).
+
+    Reads EGOT2X_COORDINATOR (host:port), EGOT2X_NUM_PROCESSES and
+    EGOT2X_PROCESS_ID and calls ``jax.distributed.initialize`` when all
+    are present. No-op (single process) otherwise. Returns the process
+    count. Call at CLI entry, before any jax device use.
+    """
+    import os
+
+    coord = os.environ.get("EGOT2X_COORDINATOR")
+    nproc = os.environ.get("EGOT2X_NUM_PROCESSES")
+    pid = os.environ.get("EGOT2X_PROCESS_ID")
+    if coord and nproc and pid:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    return jax.process_count()
+
+
 def get_rank() -> int:
     return jax.process_index()
 

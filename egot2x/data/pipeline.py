@@ -66,8 +66,8 @@ class BatchLoader:
         num_workers: int = 8,
         prefetch: int = 2,
         collate_fn: Callable = default_collate,
-        process_index: int = 0,
-        process_count: int = 1,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -76,6 +76,16 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.collate_fn = collate_fn
+        # default to the jax runtime so per-process sharding activates
+        # automatically under jax.distributed.initialize (multi-host)
+        if process_index is None or process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0

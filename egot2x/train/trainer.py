@@ -130,6 +130,16 @@ class Trainer:
         batches from CombinedLoader."""
         sh = batch_sharding(self.mesh)
 
+        multi = jax.process_count() > 1
+
+        def put(x):
+            if multi:
+                # each process contributes its local shard of the
+                # global batch (jax multi-host data path)
+                return jax.make_array_from_process_local_data(
+                    sh, np.asarray(x))
+            return jax.device_put(x, sh)
+
         def rec(node):
             if isinstance(node, dict):
                 out = {}
@@ -139,7 +149,7 @@ class Trainer:
                         out[k] = r
                 return out
             if self._is_device_array(node):
-                return jax.device_put(node, sh)
+                return put(node)
             return None
 
         return rec(batch)
