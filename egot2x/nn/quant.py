@@ -65,8 +65,10 @@ class QuantConv(nn.Module):
             padding = [tuple(p) for p in pad]
         dn = ("NHWC", "HWIO", "NHWC")
 
-        if calibrate:
-            # float forward + record running max-abs of the INPUT
+        if calibrate or self.is_initializing():
+            # float forward (init never runs the int8 path: integer
+            # convs are pathologically slow on the CPU backend used for
+            # parameter initialization) + record running max-abs
             if not self.is_initializing():
                 act_max.value = jnp.maximum(
                     act_max.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
@@ -99,9 +101,15 @@ def calibrate_variables(model, variables, *args, n_passes: int = 1,
     batches via multiple calls or a representative batch once. Must be
     called OUTSIDE jit when args vary per pass.
     """
+    import jax
+
+    @jax.jit
+    def _cal(vs, *xs):
+        return model.apply(vs, *xs, calibrate=True, mutable=["quant"],
+                           **kwargs)
+
     out = dict(variables)
     for _ in range(max(n_passes, 1)):
-        _, mutated = model.apply(out, *args, calibrate=True,
-                                 mutable=["quant"], **kwargs)
+        _, mutated = _cal(out, *args)
         out = {**out, "quant": mutated["quant"]}
     return out

@@ -136,16 +136,12 @@ class ResNet2D(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False,
                  features_only: bool = False,
                  calibrate: bool = False) -> jax.Array:
-        # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool.
-        if self.quant:
-            from egot2x.nn.quant import QuantConv
-
-            y = QuantConv(self.width, (7, 7), strides=(2, 2),
-                          padding=[(3, 3), (3, 3)], dtype=self.dtype,
-                          name="conv1")(x, calibrate=calibrate)
-        else:
-            y = _StemConv(self.width, self.fused_stem, dtype=self.dtype,
-                          name="conv1")(x)
+        # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool. The stem stays
+        # FLOAT even under quant: with C_in=3 the contraction depth (147)
+        # starves the int8 MXU and measured int8 is not faster there —
+        # the win comes from the 64-512 channel stage convs.
+        y = _StemConv(self.width, self.fused_stem, dtype=self.dtype,
+                      name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)

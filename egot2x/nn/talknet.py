@@ -45,13 +45,26 @@ class AVSRResNetLayer(nn.Module):
 
     filters: int
     stride: int
+    quant: bool = False  # int8 static-PTQ convs (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        conv = lambda f, s, name: nn.Conv(f, (3, 3), strides=(s, s),
-                                          padding=[(1, 1), (1, 1)],
-                                          use_bias=False, dtype=self.dtype, name=name)
+    def __call__(self, x: jax.Array, train: bool = False,
+                 calibrate: bool = False) -> jax.Array:
+        if self.quant:
+            from egot2x.nn.quant import QuantConv
+
+            def conv(f, s, name):
+                qc = QuantConv(f, (3, 3), strides=(s, s),
+                               padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                               name=name)
+                return lambda t: qc(t, calibrate=calibrate)
+        else:
+            def conv(f, s, name):
+                c = nn.Conv(f, (3, 3), strides=(s, s),
+                            padding=[(1, 1), (1, 1)], use_bias=False,
+                            dtype=self.dtype, name=name)
+                return c
         y = nn.relu(_bn(train, self.dtype, "bn1a")(conv(self.filters, self.stride, "conv1a")(x)))
         y = conv(self.filters, 1, "conv2a")(y)
         if self.stride == 1:
@@ -71,10 +84,12 @@ class AVSRResNetLayer(nn.Module):
 class VisualFrontend(nn.Module):
     """(B, T, 112, 112) gray in [0, 255] → (B, T, 512)."""
 
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 calibrate: bool = False) -> jax.Array:
         b, t, h, w = x.shape
         # TalkNet input normalization (talkNetModel.py:41)
         x = (x / 255.0 - 0.4161) / 0.1688
@@ -89,7 +104,9 @@ class VisualFrontend(nn.Module):
         y = y.reshape(bt, *y.shape[2:])
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for i, (f, s) in enumerate([(64, 1), (128, 2), (256, 2), (512, 2)]):
-            y = AVSRResNetLayer(f, s, dtype=self.dtype, name=f"layer{i + 1}")(y, train=train)
+            y = AVSRResNetLayer(f, s, quant=self.quant, dtype=self.dtype,
+                                name=f"layer{i + 1}")(
+                y, train=train, calibrate=calibrate)
         # AvgPool2d(4,4) stride 1 on a 4x4 map == global mean
         y = jnp.mean(y, axis=(1, 2))
         return y.reshape(b, t, 512)
@@ -240,10 +257,12 @@ class TalkNetModel(nn.Module):
     """Full TalkNet backbone. Returns per-frame features:
     outsAV (B, T, 256), outsA (B, T, 128), outsV (B, T, 128)."""
 
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.visual_frontend = VisualFrontend(dtype=self.dtype)
+        self.visual_frontend = VisualFrontend(quant=self.quant,
+                                              dtype=self.dtype)
         self.visual_tcn = VisualTCN(dtype=self.dtype)
         self.visual_conv1d = VisualConv1D(dtype=self.dtype)
         self.audio_encoder = AudioEncoder(dtype=self.dtype)
@@ -251,8 +270,9 @@ class TalkNetModel(nn.Module):
         self.cross_v2a = CrossAttentionLayer(128, 8, dtype=self.dtype)
         self.self_av = CrossAttentionLayer(256, 8, dtype=self.dtype)
 
-    def forward_visual_frontend(self, faces, train=False, deterministic=True):
-        x = self.visual_frontend(faces, train=train)
+    def forward_visual_frontend(self, faces, train=False, deterministic=True,
+                                calibrate=False):
+        x = self.visual_frontend(faces, train=train, calibrate=calibrate)
         x = self.visual_tcn(x, train=train)
         return self.visual_conv1d(x, train=train)
 
@@ -266,10 +286,12 @@ class TalkNetModel(nn.Module):
         # *audio-attended* stream aligned to x1_c naming (talkNetModel.py:55-58)
         return a_c, v_c
 
-    def __call__(self, mfcc, faces, train=False, deterministic=True):
+    def __call__(self, mfcc, faces, train=False, deterministic=True,
+                 calibrate=False):
         audio_embed = self.forward_audio_frontend(mfcc, train=train)
         visual_embed = self.forward_visual_frontend(faces, train=train,
-                                                    deterministic=deterministic)
+                                                    deterministic=deterministic,
+                                                    calibrate=calibrate)
         # align time lengths (audio T = 4T//4 may differ by 1 from video T)
         t = min(audio_embed.shape[1], visual_embed.shape[1])
         audio_embed = audio_embed[:, :t]

@@ -61,11 +61,14 @@ class _FusionBase(nn.Module):
     quant: bool = False  # int8 static-PTQ resnet trunks (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
-    def _asd_tokens(self, video_asd, audio_asd, deterministic=True):
+    def _asd_tokens(self, video_asd, audio_asd, deterministic=True,
+                    calibrate=False):
         """Frozen TalkNet per-frame AV features (B, T, 256)."""
-        asd = TalkNetModel(dtype=self.dtype, name="asd_model")
+        asd = TalkNetModel(quant=self.quant, dtype=self.dtype,
+                           name="asd_model")
         outs_av, _, _ = asd(audio_asd, video_asd, train=False,
-                            deterministic=deterministic)
+                            deterministic=deterministic,
+                            calibrate=calibrate)
         return outs_av
 
     def _maybe_freeze(self, x):
@@ -147,7 +150,8 @@ class TaskFusionMFTransformer3Task(_FusionBase):
                  calibrate: bool = False):
         deterministic = not train if deterministic is None else deterministic
         asd_out = self._maybe_freeze(
-            self._asd_tokens(video_asd, audio_asd, deterministic=True))
+            self._asd_tokens(video_asd, audio_asd, deterministic=True,
+                             calibrate=calibrate))
         lam_out = self._maybe_freeze(
             LAMBackbone(quant=self.quant, dtype=self.dtype, name="lam_model")(
                 video, middle=True, calibrate=calibrate))

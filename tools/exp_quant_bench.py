@@ -5,7 +5,10 @@ import sys
 
 import numpy as np
 
-T, BATCH, IMG, SR = 30, 32, 224, 16000
+import os
+
+T, IMG, SR = 30, 224, 16000
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
 
 
 def main():
@@ -27,7 +30,7 @@ def main():
     )
     inputs = jax.device_put(inputs, dev)
 
-    for quant in (False, True):
+    for quant in ((True,) if os.environ.get("QUANT_ONLY") else (False, True)):
         model = build_model("TaskFusionMFTransformer3Task", hidden_dim=128,
                             num_layers=1, quant=quant, dtype=jnp.bfloat16)
         with jax.default_device(cpu):
