@@ -294,6 +294,62 @@ def make_lta_fixture(
     return root
 
 
+def make_sta_fixture(
+    root: str,
+    n_videos: int = 2,
+    anns_per_video: int = 4,
+    img_size: int = 96,
+    seed: int = 0,
+) -> str:
+    """Miniature STA tree: fho_sta_{train,val}.json (annotation list +
+    video_metadata, reference short_term_anticipation.py:341-357) +
+    object_detections.json + clips/<video_uid>/ frame jpegs."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "clips"), exist_ok=True)
+    videos, anns_train, anns_val, dets = {}, [], [], {}
+    for v in range(n_videos):
+        vid = f"svid{v:03d}"
+        videos[vid] = {"frame_width": img_size, "frame_height": img_size,
+                       "fps": 30.0}
+        frame_dir = os.path.join(root, "clips", vid)
+        os.makedirs(frame_dir, exist_ok=True)
+        for i in range(0, 40, 2):
+            img = rng.integers(0, 255, (img_size, img_size, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(frame_dir, f"frame_{i:06d}.jpg"), img)
+        for a in range(anns_per_video):
+            uid = f"{vid}_{a:03d}"
+            cx, cy = rng.uniform(20, img_size - 30, 2)
+            box = [float(cx), float(cy), float(cx + 16), float(cy + 16)]
+            ann = {
+                "uid": uid,
+                "video_uid": vid,
+                "frame": int(rng.integers(10, 38)),
+                "objects": [{
+                    "box": box,
+                    "noun_category_id": int(rng.integers(0, 12)),
+                    "verb_category_id": int(rng.integers(0, 10)),
+                    "time_to_contact": float(rng.uniform(0.2, 1.5)),
+                }],
+            }
+            (anns_train if v < max(1, n_videos // 2) else anns_val).append(ann)
+            jit = rng.uniform(-4, 4, 4)
+            dets[uid] = [
+                {"box": [float(b + j) for b, j in zip(box, jit)],
+                 "score": 0.9, "noun_category_id": 3},
+                {"box": [1.0, 1.0, 12.0, 12.0], "score": 0.8,
+                 "noun_category_id": 5},
+            ]
+    with open(os.path.join(root, "fho_sta_train.json"), "w") as f:
+        json.dump({"info": {"video_metadata": videos},
+                   "annotations": anns_train}, f)
+    with open(os.path.join(root, "fho_sta_val.json"), "w") as f:
+        json.dump({"info": {"video_metadata": videos},
+                   "annotations": anns_val or anns_train}, f)
+    with open(os.path.join(root, "object_detections.json"), "w") as f:
+        json.dump(dets, f)
+    return root
+
+
 def make_wave(n_samples: int, seed: int = 0) -> np.ndarray:
     """Synthetic audio: a few random sinusoids + noise, float32 in [-1, 1]."""
     rng = np.random.default_rng(seed)

@@ -64,3 +64,49 @@ def test_box_iou_and_ap():
     # detector that misses everything → AP 0
     ap0 = box_ap([a], [np.array([0.9])], [np.array([[50, 50, 60, 60.0]])])
     assert ap0 == 0.0
+
+
+def test_sta_dataset(tmp_path):
+    from egot2x.data.pipeline import BatchLoader
+    from egot2x.data.sta import Ego4dStaDataset, sta_transform
+    from egot2x.data.synthetic import make_sta_fixture
+
+    root = make_sta_fixture(str(tmp_path / "sta"))
+    for split in ("train", "val"):
+        ds = Ego4dStaDataset(root, split=split, num_frames=8, alpha=4,
+                             crop_size=64, jitter_scales=(72, 96),
+                             max_boxes=6)
+        assert len(ds) == 4
+        item = ds[0]
+        assert item["slow"].shape == (2, 64, 64, 3)
+        assert item["fast"].shape == (8, 64, 64, 3)
+        assert item["boxes"].shape == (6, 4)
+        assert item["box_valid"].dtype == bool
+        n_valid = int(item["box_valid"].sum())
+        assert n_valid >= 2  # 2 detections (+GT appended at train)
+        # at least one detection should match the (jittered-copy) GT box
+        if split == "train":
+            assert (item["verb"][:n_valid] >= 0).any()
+            assert item["ttc"][item["ttc_valid"]].min() > 0
+        # ignore labels padded with -100
+        assert (item["verb"][n_valid:] == -100).all()
+    # static-shape batches stack cleanly
+    loader = BatchLoader(ds, batch_size=2, mode="eval")
+    batch = next(iter(loader))
+    assert batch["boxes"].shape == (2, 6, 4)
+    assert batch["slow"].shape == (2, 2, 64, 64, 3)
+
+
+def test_sta_transform_boxes_follow_crop():
+    from egot2x.data.sta import sta_transform
+
+    rng = np.random.default_rng(0)
+    frames = np.zeros((2, 100, 140, 3), np.float32)
+    frames[:, 40:60, 60:90] = 255.0  # bright region == the box
+    boxes = np.array([[60.0, 40.0, 90.0, 60.0]], np.float32)
+    out, tb = sta_transform(frames, boxes.copy(), "val", 64, (72, 96), rng)
+    assert out.shape == (2, 64, 64, 3)
+    # the transformed box must still cover the bright region's center
+    x0, y0, x1, y1 = tb[0]
+    cy, cx = np.unravel_index(out[0].sum(-1).argmax(), out[0].sum(-1).shape)
+    assert x0 - 2 <= cx <= x1 + 2 and y0 - 2 <= cy <= y1 + 2
