@@ -69,9 +69,11 @@ def main(argv=None):
         cfg.merge_yaml(args.cfg)
     if args.opts:
         cfg.merge_dotlist(args.opts)
-        task_override = cfg.get_path("DATA.TASK")
-        if task_override:
-            cfg.task = task_override
+    # reference-schema keys (SOLVER.BASE_LR, MODEL.LOSS_FUNC, ...) drive
+    # the flat knobs; unset schema knobs get reference defaults
+    from egot2x.core.schema import resolve_reference_cfg
+
+    resolve_reference_cfg(cfg, family="pnr")
 
     if cfg.synthetic:
         root = os.path.join(tempfile.gettempdir(), "egot2x_pnr_fixture")

@@ -77,9 +77,9 @@ def main(argv=None):
         cfg.merge_yaml(args.cfg)
     if args.opts:
         cfg.merge_dotlist(args.opts)
-        t = cfg.get_path("DATA.TASK")
-        if t:
-            cfg.task = t
+    from egot2x.core.schema import resolve_reference_cfg
+
+    resolve_reference_cfg(cfg, family="recognition")
 
     if cfg.synthetic:
         root = os.path.join(tempfile.gettempdir(), "egot2x_lta_fixture")

@@ -30,6 +30,10 @@ def build_argparser():
     p = argparse.ArgumentParser(description="egot2x challenge submission")
     p.add_argument("--target", type=str, required=True,
                    choices=["pnr", "oscc", "lta", "ttm", "ar"])
+    p.add_argument("--cfg", type=str, default=None,
+                   help="eval YAML with reference-schema knobs (the "
+                        "configs/eval/*.yaml surface, e.g. "
+                        "MISC.CHECKPOINT_FILE_PATH, TEST.BATCH_SIZE)")
     p.add_argument("--ckpt", type=str, default=None,
                    help="Trainer checkpoint dir (restores 'last')")
     p.add_argument("--data_root", type=str, default=None)
@@ -104,6 +108,23 @@ def main(argv=None):
     import jax
 
     args = build_argparser().parse_args(argv)
+    if args.cfg:
+        # reference eval-yaml surface (HOI/configs/eval/*.yaml consumed
+        # by HOI/submission/eval_*.py): schema keys map onto the flags
+        from egot2x.core.config import Config
+        from egot2x.core.schema import resolve_reference_cfg
+
+        ecfg = resolve_reference_cfg(
+            Config.from_yaml(args.cfg),
+            family="pnr" if args.target in ("pnr", "oscc") else "recognition")
+        yaml_ckpt = ecfg.get("ckpt") or ecfg.get_path(
+            "MISC.CHECKPOINT_FILE_PATH")
+        if not args.ckpt and yaml_ckpt and os.path.exists(str(yaml_ckpt)):
+            args.ckpt = yaml_ckpt
+        args.data_root = args.data_root or ecfg.get("data_root")
+        tb = ecfg.get_path("TEST.BATCH_SIZE")
+        if tb:
+            args.batch_size = tb
     task = _make_task(args)
     state = task.build_state(jax.random.key(args.seed))
     if args.ckpt:
