@@ -110,3 +110,34 @@ def test_sta_transform_boxes_follow_crop():
     x0, y0, x1, y1 = tb[0]
     cy, cx = np.unravel_index(out[0].sum(-1).argmax(), out[0].sum(-1).shape)
     assert x0 - 2 <= cx <= x1 + 2 and y0 - 2 <= cy <= y1 + 2
+
+
+def test_sta_task_trains(tmp_path):
+    """One train step + validation of the STA task on the fixture."""
+    from egot2x.core.config import Config
+    from egot2x.data.synthetic import make_sta_fixture
+    from egot2x.tasks.sta import ShortTermAnticipationTask
+
+    root = make_sta_fixture(str(tmp_path / "sta"))
+    cfg = Config(data_root=root, lr=0.01, wd=1e-4, batch_size=2,
+                 num_workers=1, seed=0, crop_size=64, num_frames=8,
+                 alpha=4, num_verbs=10, max_boxes=6,
+                 jitter_scales=(72, 96))
+    task = ShortTermAnticipationTask(cfg)
+    state = task.build_state(jax.random.key(0))
+    batch = next(iter(task.train_loader()))
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if isinstance(v, np.ndarray) and v.dtype.kind in "biufc"}
+    state, metrics = jax.jit(task.train_step, donate_argnums=0)(
+        state, dev_batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["verb_accuracy"]) <= 1.0
+    # eval + aggregation produce the checkpoint metric
+    ctx = task.start_validation()
+    vb = next(iter(task.val_loader()))
+    out = jax.jit(task.eval_step)(
+        state, {k: jnp.asarray(v) for k, v in vb.items()
+                if isinstance(v, np.ndarray) and v.dtype.kind in "biufc"})
+    task.accumulate(ctx, jax.device_get(out), vb)
+    res = task.finalize_validation(ctx)
+    assert "val_map_box" in res and 0.0 <= res["val_map_box"] <= 1.0

@@ -19,6 +19,7 @@ run egot2x.cli.run_lta --task classification --model MultiTaskMViT --synthetic -
 run egot2x.cli.run_lta --task long_term_anticipation --synthetic --fast_dev_run
 run egot2x.cli.run_lta --task recognition2loader --synthetic --fast_dev_run
 run egot2x.cli.run_lta --task lta2loader --synthetic --fast_dev_run
+run egot2x.cli.run_sta --synthetic --fast_dev_run
 run egot2x.cli.run_multitask --synthetic --fast_dev_run
 run egot2x.cli.run_multitask --task unified --synthetic --fast_dev_run
 run egot2x.cli.multitask_run --task unify6task --synthetic --fast_dev_run
