@@ -79,15 +79,15 @@ class E2EClipDataset:
 
     def __getitem__(self, idx):
         info = self.clips[idx]
+        # ship uint8 to the device and normalize in the jit — 4x less
+        # host->device transfer than f32 (rides a network tunnel here)
         u8 = self.native.decode_crop_resize(info["frames"], self.full, IMG)
-        video = self.native.normalize(
-            u8, [0.485, 0.456, 0.406], [0.229, 0.224, 0.225])
         u8_asd = self.native.decode_crop_resize(info["frames"], self.full, 112)
         video_asd = u8_asd.mean(axis=-1, dtype=np.float32)  # gray, [0,255]
         wave = np.load(info["wave"])
         audio_asd = self.mfcc_np(wave.astype(np.float64), SR,
                                  num_frames=4 * T).astype(np.float32)
-        return {"video": video, "video_asd": video_asd, "audio": wave,
+        return {"video": u8, "video_asd": video_asd, "audio": wave,
                 "audio_asd": audio_asd}
 
 
@@ -129,21 +129,28 @@ def main():
         variables = jax.device_put(dict(restore_tree(cache)), dev)
     else:  # fall back: CPU init (uncalibrated scales; fine for timing)
         cpu = jax.devices("cpu")[0]
+        norm_shapes = [np.zeros(x.shape, np.float32) for x in staged]
         with jax.default_device(cpu):
-            variables = model.init(jax.random.key(0),
-                                   *jax.tree_util.tree_map(
-                                       lambda x: np.zeros(x.shape, x.dtype),
-                                       staged), train=False)
+            variables = model.init(jax.random.key(0), *norm_shapes,
+                                   train=False)
         variables = jax.device_put(dict(variables), dev)
         from egot2x.nn.quant import calibrate_variables
 
-        variables = calibrate_variables(model, variables, *staged,
-                                        train=False)
+        cal_video = (staged[0].astype(jnp.float32) / 255.0
+                     - np.asarray([0.485, 0.456, 0.406], np.float32)) \
+            / np.asarray([0.229, 0.224, 0.225], np.float32)
+        variables = calibrate_variables(model, variables, cal_video,
+                                        *staged[1:], train=False)
 
-    @jax.jit
-    def fwd(v, video, video_asd, audio, audio_asd):
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+    def fwd_(v, video_u8, video_asd, audio, audio_asd):
+        video = (video_u8.astype(jnp.float32) / 255.0 - mean) / std
         return model.apply(v, video, video_asd, audio, audio_asd,
                            train=False)
+
+    fwd = jax.jit(fwd_)
 
     out = fwd(variables, *staged)
     _ = np.asarray(out)
