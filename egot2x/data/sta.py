@@ -236,7 +236,11 @@ class Ego4dStaDataset(Dataset):
         slow, fast = to_pathways(frames, self.alpha)
         valid = np.zeros((self.max_boxes,), bool)
         valid[:min(n, self.max_boxes)] = True
+        gt_valid = np.zeros((self.max_boxes,), bool)
+        gt_valid[:min(len(gt_t), self.max_boxes)] = True
         return {
+            "gt_boxes": self._pad(gt_t),
+            "gt_valid": gt_valid,
             "slow": slow.astype(np.float32),
             "fast": fast.astype(np.float32),
             "boxes": self._pad(pred_t),

@@ -160,9 +160,10 @@ class ShortTermAnticipationTask(Task):
                     vs[i][bm].max(-1)
                 preds.append(boxes)
                 scores.append(conf)
+                gm = np.asarray(batch["gt_valid"][i])
+                gts.append(np.asarray(batch["gt_boxes"][i])[gm])
                 vlab = np.asarray(batch["verb"][i])[bm]
                 act = vlab >= 0
-                gts.append(boxes[act])
                 if act.any():
                     accs.append(float(
                         (vs[i][bm][act].argmax(-1) == vlab[act]).mean()))
