@@ -57,7 +57,10 @@ def main():
             variables = restore_tree(cache)
         except Exception:
             variables = None  # stale cache (model shapes changed): re-init
-    calibrated = variables is not None and "quant" in variables and any(
+    # ALL scales must be calibrated — a partially-calibrated tree (stale
+    # cache, new conv added) would silently saturate those layers' int8
+    # activations (s_act=1e-6/127)
+    calibrated = variables is not None and "quant" in variables and all(
         float(s) > 0 for s in jax.tree_util.tree_leaves(variables["quant"]))
     if variables is None:
         cpu = jax.devices("cpu")[0]

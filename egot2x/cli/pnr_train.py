@@ -64,16 +64,22 @@ def main(argv=None):
     import egot2x.tasks.pnr as pnr_tasks
     from egot2x.train.trainer import Trainer
 
+    # precedence (reference load_config order): KEY VAL opts > explicit
+    # CLI flags > YAML schema keys > argparse/reference defaults
+    from egot2x.core.schema import (install_reference_defaults,
+                                    propagate_reference_keys,
+                                    reapply_cli_flags)
+
     cfg = Config(vars(args))
     if args.cfg:
         cfg.merge_yaml(args.cfg)
+    propagate_reference_keys(cfg, family="pnr")
+    reapply_cli_flags(cfg, args, build_argparser())
     if args.opts:
-        cfg.merge_dotlist(args.opts)
-    # reference-schema keys (SOLVER.BASE_LR, MODEL.LOSS_FUNC, ...) drive
-    # the flat knobs; unset schema knobs get reference defaults
-    from egot2x.core.schema import resolve_reference_cfg
-
-    resolve_reference_cfg(cfg, family="pnr")
+        opts_cfg = Config().merge_dotlist(args.opts)
+        cfg.merge(opts_cfg)
+        propagate_reference_keys(cfg, family="pnr", source=opts_cfg)
+    install_reference_defaults(cfg, family="pnr")
 
     if cfg.synthetic:
         root = os.path.join(tempfile.gettempdir(), "egot2x_pnr_fixture")

@@ -73,13 +73,21 @@ def main(argv=None):
     cfg = Config(vars(args))
     if cfg.get("model") is None:
         cfg.pop("model", None)  # let each task pick its own default
+    from egot2x.core.schema import (install_reference_defaults,
+                                    propagate_reference_keys,
+                                    reapply_cli_flags)
+
     if args.cfg:
         cfg.merge_yaml(args.cfg)
+    propagate_reference_keys(cfg, family="recognition")
+    reapply_cli_flags(cfg, args, build_argparser())
+    if cfg.get("model") is None:
+        cfg.pop("model", None)
     if args.opts:
-        cfg.merge_dotlist(args.opts)
-    from egot2x.core.schema import resolve_reference_cfg
-
-    resolve_reference_cfg(cfg, family="recognition")
+        opts_cfg = Config().merge_dotlist(args.opts)
+        cfg.merge(opts_cfg)
+        propagate_reference_keys(cfg, family="recognition", source=opts_cfg)
+    install_reference_defaults(cfg, family="recognition")
 
     if cfg.synthetic:
         root = os.path.join(tempfile.gettempdir(), "egot2x_lta_fixture")

@@ -45,16 +45,22 @@ def main(argv=None):
     maybe_initialize_from_env()
     args = build_argparser().parse_args(argv)
     from egot2x.core.config import Config
-    from egot2x.core.schema import resolve_reference_cfg
+    from egot2x.core.schema import (install_reference_defaults,
+                                    propagate_reference_keys,
+                                    reapply_cli_flags)
     from egot2x.tasks.sta import ShortTermAnticipationTask
     from egot2x.train.trainer import Trainer
 
     cfg = Config(vars(args))
     if args.cfg:
         cfg.merge_yaml(args.cfg)
+    propagate_reference_keys(cfg, family="recognition")
+    reapply_cli_flags(cfg, args, build_argparser())
     if args.opts:
-        cfg.merge_dotlist(args.opts)
-    resolve_reference_cfg(cfg, family="recognition")
+        opts_cfg = Config().merge_dotlist(args.opts)
+        cfg.merge(opts_cfg)
+        propagate_reference_keys(cfg, family="recognition", source=opts_cfg)
+    install_reference_defaults(cfg, family="recognition")
 
     if cfg.synthetic:
         root = os.path.join(tempfile.gettempdir(), "egot2x_sta_fixture")

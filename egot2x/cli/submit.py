@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import tempfile
 
 import numpy as np
@@ -110,20 +111,27 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     if args.cfg:
         # reference eval-yaml surface (HOI/configs/eval/*.yaml consumed
-        # by HOI/submission/eval_*.py): schema keys map onto the flags
+        # by HOI/submission/eval_*.py). Read knobs from the RAW yaml
+        # tree — resolving first would install schema defaults and make
+        # every key look user-set (TEST.BATCH_SIZE=4 would clobber an
+        # explicit --batch_size)
         from egot2x.core.config import Config
-        from egot2x.core.schema import resolve_reference_cfg
 
-        ecfg = resolve_reference_cfg(
-            Config.from_yaml(args.cfg),
-            family="pnr" if args.target in ("pnr", "oscc") else "recognition")
-        yaml_ckpt = ecfg.get("ckpt") or ecfg.get_path(
-            "MISC.CHECKPOINT_FILE_PATH")
+        ecfg = Config.from_yaml(args.cfg)
+        yaml_ckpt = (ecfg.get_path("MISC.CHECKPOINT_FILE_PATH")
+                     or ecfg.get_path("CHECKPOINT_FILE_PATH")
+                     or (ecfg.get_path("CHECKPOINT_FILE_PATH_LTA")
+                         if args.target == "lta" else None)
+                     or (ecfg.get_path("CHECKPOINT_FILE_PATH_AR")
+                         if args.target == "ar" else None))
         if not args.ckpt and yaml_ckpt and os.path.exists(str(yaml_ckpt)):
             args.ckpt = yaml_ckpt
+        if args.cfg and not args.ckpt and yaml_ckpt:
+            print(f"warning: eval yaml checkpoint {yaml_ckpt!r} not found; "
+                  "running with randomly initialized weights")
         args.data_root = args.data_root or ecfg.get("data_root")
         tb = ecfg.get_path("TEST.BATCH_SIZE")
-        if tb:
+        if tb and "--batch_size" not in (argv or sys.argv):
             args.batch_size = tb
     task = _make_task(args)
     state = task.build_state(jax.random.key(args.seed))

@@ -38,6 +38,10 @@ def maybe_initialize_from_env() -> int:
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=int(nproc),
                                    process_id=int(pid))
+    elif os.environ.get("EGOT2X_AUTODETECT"):
+        # Cloud TPU pods: argless initialize() autodetects coordinator/
+        # process topology from the TPU metadata (launch_multihost.sh)
+        jax.distributed.initialize()
     return jax.process_count()
 
 

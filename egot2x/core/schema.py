@@ -163,6 +163,7 @@ RECOGNITION_FLAT_MAP: Dict[str, str] = {
     "MODEL.NUM_CLASSES": "num_classes",
     "SLOWFAST.ALPHA": "alpha",
     "SLOWFAST.BETA_INV": "beta_inv",
+    "RESNET.DEPTH": "resnet_depth",
     "FORECASTING.AGGREGATOR": "aggregator",
     "FORECASTING.NUM_INPUT_CLIPS": "num_input_clips",
     "FORECASTING.NUM_ACTIONS_TO_PREDICT": "num_actions",
@@ -173,26 +174,29 @@ RECOGNITION_FLAT_MAP: Dict[str, str] = {
 }
 
 
-def resolve_reference_cfg(cfg: Config, family: str = "pnr") -> Config:
-    """Propagate user-set reference-schema keys onto flat knobs, then
-    install the remaining schema defaults (without overwriting).
+def propagate_reference_keys(cfg: Config, family: str = "pnr",
+                             source: Config = None) -> Config:
+    """Map dotted schema keys PRESENT in ``source`` (default: cfg
+    itself) onto cfg's flat knobs.
 
-    Call AFTER YAML + dotlist merges: any dotted key the user set wins
-    over the flat argparse default; flat keys the user set explicitly
-    on the command line are CLI-parsed before this runs, so the usual
-    precedence (opts > yaml > argparse defaults) holds, matching the
-    reference's load_config order (HOI/utils/pnr/parser.py:46-68).
-    """
-    schema = pnr_schema() if family == "pnr" else recognition_schema()
+    Presence decides propagation: the flat argparse namespace carries no
+    schema groups, so a dotted key exists only if the user set it via
+    YAML or dotlist opts. Must run BEFORE install_reference_defaults
+    (installed defaults would otherwise look user-set). Pass the
+    dotlist-only tree as ``source`` for the opts stage so it does not
+    re-propagate YAML keys over reapplied CLI flags."""
     flat_map = PNR_FLAT_MAP if family == "pnr" else RECOGNITION_FLAT_MAP
-    # a dotted group key present in cfg means the user set it via YAML
-    # or opts (the flat argparse namespace carries no schema groups), so
-    # presence alone decides propagation
+    src = cfg if source is None else source
     for dotted, flat in flat_map.items():
-        val = cfg.get_path(dotted, default=_MISSING)
+        val = src.get_path(dotted, default=_MISSING)
         if val is not _MISSING:
             dict.__setitem__(cfg, flat, Config._wrap(val))
-    # give every reference knob a home (defaults under user values)
+    return cfg
+
+
+def install_reference_defaults(cfg: Config, family: str = "pnr") -> Config:
+    """Give every reference knob a home (defaults under user values)."""
+    schema = pnr_schema() if family == "pnr" else recognition_schema()
     for group, tree in schema.items():
         if group not in cfg:
             dict.__setitem__(cfg, group, tree)
@@ -201,6 +205,30 @@ def resolve_reference_cfg(cfg: Config, family: str = "pnr") -> Config:
                 if k not in cfg[group]:
                     dict.__setitem__(cfg[group], k, v)
     return cfg
+
+
+def reapply_cli_flags(cfg: Config, args, parser) -> Config:
+    """Explicit command-line flags win over YAML schema keys.
+
+    A flag counts as explicit when its parsed value differs from the
+    parser default (a flag explicitly set TO its default is
+    indistinguishable — the standard yacs/argparse limitation). Call
+    after YAML propagation, before dotlist opts (reference precedence:
+    opts > explicit flags > yaml > defaults)."""
+    defaults = vars(parser.parse_args([]))
+    for k, v in vars(args).items():
+        if k in ("cfg", "opts"):
+            continue
+        if v != defaults.get(k):
+            dict.__setitem__(cfg, k, Config._wrap(v))
+    return cfg
+
+
+def resolve_reference_cfg(cfg: Config, family: str = "pnr") -> Config:
+    """propagate + install in one call (YAML/opts already merged and no
+    explicit-flag precedence needed — e.g. programmatic configs)."""
+    propagate_reference_keys(cfg, family)
+    return install_reference_defaults(cfg, family)
 
 
 class _Missing:

@@ -39,6 +39,7 @@ class MultiTaskSlowFast(nn.Module):
     num_classes: Sequence[int] = (115, 478)
     alpha: int = 8
     beta_inv: int = 8
+    depth: int = 50  # RESNET.DEPTH (50 or 101)
     dropout_rate: float = 0.5
     dtype: Dtype = jnp.float32
 
@@ -46,7 +47,8 @@ class MultiTaskSlowFast(nn.Module):
     def __call__(self, pathways: List[jax.Array], train: bool = False,
                  middle: bool = False):
         feats = SlowFast(alpha=self.alpha, beta_inv=self.beta_inv,
-                         dtype=self.dtype, name="trunk")(pathways, train=train)
+                         depth=self.depth, dtype=self.dtype,
+                         name="trunk")(pathways, train=train)
         if middle:
             return feats  # [(B, T/α, 7, 7, 2048), (B, T, 7, 7, 256)]
         return MultiTaskHead(self.num_classes, self.dropout_rate,

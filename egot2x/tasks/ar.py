@@ -55,6 +55,7 @@ class MultiTaskClassificationTask(Task):
                 num_classes=tuple(c.get("num_classes", (115, 478))),
                 alpha=c.get("alpha", 8),
                 beta_inv=c.get("beta_inv", 8),
+                depth=c.get("resnet_depth", 50),
             )
 
     def _sample_inputs(self):

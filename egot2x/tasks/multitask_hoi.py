@@ -173,7 +173,8 @@ class Unified6TaskTranslation(Task):
             full = merge_trees(state.frozen, params) if state.frozen else params
             variables = {"params": full, "batch_stats": state.batch_stats}
             total = 0.0
-            for di, (src, tkey, task) in enumerate(self._active_decodes()):
+            for di, row in enumerate(self._active_decodes()):
+                src, tkey, task = row
                 batch = batches[src]
                 tgt = batch[tkey]
                 logits = state.apply_fn(
@@ -181,7 +182,12 @@ class Unified6TaskTranslation(Task):
                     tgt[:, :-1], task, train=True,
                     rngs={"dropout": jax.random.fold_in(rng, di)},
                 )
-                ratio = self.ratios[di] if di < len(self.ratios) else 1.0
+                # loss_ratios index the GLOBAL six-decode list, so a
+                # subset task keeps each decode's configured weight
+                # (rows outside DECODES — e.g. task12's joint action
+                # decode — fall back to their local position)
+                gi = DECODES.index(row) if row in DECODES else di
+                ratio = self.ratios[gi] if gi < len(self.ratios) else 1.0
                 total = total + ratio * seq_ce(logits, tgt[:, 1:])
             return total
 

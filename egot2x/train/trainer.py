@@ -228,7 +228,12 @@ class Trainer:
                 args = task.bn_forward_args(batch)
                 if args is None:
                     return
-                yield tuple(jax.device_put(np.asarray(a)) for a in args)
+                # args may nest pathway lists ([slow, fast], boxes):
+                # device_put per LEAF — np.asarray on a ragged pathway
+                # list would raise / restructure the model inputs
+                yield tuple(jax.tree_util.tree_map(
+                    lambda x: jax.device_put(np.asarray(x)), a)
+                    for a in args)
 
         variables = state.variables()
         if "batch_stats" not in variables:

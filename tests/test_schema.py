@@ -68,3 +68,38 @@ def test_resolve_opts_map_to_flat():
     assert cfg.aggregator == "MeanAggregator"
     assert cfg.num_input_clips == 4
     assert cfg.alpha == 4
+
+
+def test_cli_flags_beat_yaml_but_opts_beat_flags():
+    """Reference precedence: KEY VAL opts > explicit CLI flags > YAML >
+    defaults (the round-1 resolver let YAML clobber explicit flags)."""
+    import argparse
+
+    from egot2x.core.schema import (install_reference_defaults,
+                                    propagate_reference_keys,
+                                    reapply_cli_flags)
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--fast_dev_run", action="store_true")
+    parser.add_argument("opts", nargs="*", default=[])
+    args = parser.parse_args(["--lr", "0.5", "--fast_dev_run"])
+
+    cfg = Config(vars(args))
+    cfg.merge_yaml(io.StringIO(
+        "SOLVER:\n  BASE_LR: 0.02\nMISC:\n  FAST_DEV_RUN: false\n"
+        "MODEL:\n  LOSS_FUNC: bce\n"))
+    propagate_reference_keys(cfg, family="pnr")
+    assert cfg.lr == 0.02            # yaml applied first
+    reapply_cli_flags(cfg, args, parser)
+    assert cfg.lr == 0.5             # explicit flag wins over yaml
+    assert cfg.fast_dev_run is True  # yaml can't cancel --fast_dev_run
+    assert cfg.loss_func == "bce"    # yaml-only key survives
+    opts_cfg = Config().merge_dotlist(["SOLVER.BASE_LR", "0.9"])
+    cfg.merge(opts_cfg)
+    propagate_reference_keys(cfg, family="pnr", source=opts_cfg)
+    assert cfg.lr == 0.9             # opts beat everything
+    assert cfg.fast_dev_run is True  # opts stage must not re-apply yaml
+    install_reference_defaults(cfg, family="pnr")
+    assert cfg.lr == 0.9             # installing defaults changes nothing
+    assert cfg.BN.NUM_SPLITS == 1    # every reference knob has a home
