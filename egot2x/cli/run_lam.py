@@ -47,9 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bf16"],
                    help="activation dtype (bf16 for MXU throughput)")
-    p.add_argument("--model_parallel", action="store_true",
-                   help="shard wide trainable kernels over the mesh's "
-                        "model axis (tensor parallelism)")
+    p.add_argument("--model_parallel", type=int, nargs="?", const=2,
+                   default=0,
+                   help="model-axis size for tensor parallelism (shards "
+                        "wide trainable kernels); bare flag means 2")
     p.add_argument("--precise_bn_batches", type=int, default=0,
                    help="recompute exact BN stats over N train batches "
                         "before validation (reference BN.USE_PRECISE_STATS)")

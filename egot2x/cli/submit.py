@@ -124,14 +124,27 @@ def main(argv=None):
                          if args.target == "lta" else None)
                      or (ecfg.get_path("CHECKPOINT_FILE_PATH_AR")
                          if args.target == "ar" else None))
-        if not args.ckpt and yaml_ckpt and os.path.exists(str(yaml_ckpt)):
+        if not args.ckpt and yaml_ckpt and os.path.isdir(str(yaml_ckpt)):
             args.ckpt = yaml_ckpt
         if args.cfg and not args.ckpt and yaml_ckpt:
-            print(f"warning: eval yaml checkpoint {yaml_ckpt!r} not found; "
-                  "running with randomly initialized weights")
+            if os.path.isfile(str(yaml_ckpt)):
+                # reference yamls point at torch .ckpt files; those must
+                # be translated into a Trainer checkpoint dir first
+                print(f"warning: {yaml_ckpt!r} is a torch checkpoint "
+                      "file — convert it with `python -m "
+                      "egot2x.cli.import_ckpt` and pass the resulting "
+                      "directory via --ckpt; running with randomly "
+                      "initialized weights")
+            else:
+                print(f"warning: eval yaml checkpoint {yaml_ckpt!r} not "
+                      "found; running with randomly initialized weights")
         args.data_root = args.data_root or ecfg.get("data_root")
         tb = ecfg.get_path("TEST.BATCH_SIZE")
-        if tb and "--batch_size" not in (argv or sys.argv):
+        raw_argv = argv if argv is not None else sys.argv[1:]
+        explicit_bs = any(a == "--batch_size"
+                          or a.startswith("--batch_size=")
+                          for a in raw_argv)
+        if tb and not explicit_bs:
             args.batch_size = tb
     task = _make_task(args)
     state = task.build_state(jax.random.key(args.seed))

@@ -92,6 +92,27 @@ class QuantConv(nn.Module):
         return y
 
 
+def assert_calibrated(variables) -> None:
+    """Fail loudly when a quant model would run with uncalibrated
+    activation scales (act_max == 0 ⇒ s_act ≈ 7.9e-9 and every
+    activation clips to ±127 — numerically meaningless outputs with no
+    error). Call after loading variables for any ``quant=True`` model
+    and before inference; ``calibrate_variables`` populates the scales.
+    """
+    import jax
+
+    quant = variables.get("quant") if isinstance(variables, dict) else None
+    if not quant:
+        return
+    bad = [float(s) for s in jax.tree_util.tree_leaves(quant)
+           if float(s) <= 0.0]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} QuantConv activation scale(s) are uncalibrated "
+            "(act_max == 0); run egot2x.nn.quant.calibrate_variables on "
+            "a representative batch before int8 inference")
+
+
 def calibrate_variables(model, variables, *args, n_passes: int = 1,
                         **kwargs) -> dict:
     """Run calibration forward passes and return variables with the

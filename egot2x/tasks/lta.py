@@ -228,19 +228,28 @@ class LongTermAnticipationTaskSeq(LongTermAnticipationTask):
     def train_step(self, state: TrainState, batch, rng):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
+            # Encode the clips ONCE and decode per target. The reference
+            # re-runs the full model per target sequence
+            # (long_term_anticipation.py:358-369), recomputing the
+            # dominant SlowFast encoding; sharing it halves step cost.
+            # Divergence (documented): encoder dropout/BN-update happen
+            # once per step instead of once per decode.
+            encoded, mutated = state.apply_fn(
+                variables, self._pathways(batch), train=True,
+                mutable=["batch_stats"], method="encode",
+                rngs={"dropout": jax.random.fold_in(rng, 999)},
+            )
             total = 0.0
-            new_stats = state.batch_stats
             for ti, tgt in enumerate(self._targets(batch)):
-                logits, mutated = state.apply_fn(
-                    variables, self._pathways(batch), tgt[:, :-1], train=True,
-                    mutable=["batch_stats"],
+                logits = state.apply_fn(
+                    variables, tgt[:, :-1], encoded, train=True,
+                    method="decode",
                     rngs={"dropout": jax.random.fold_in(rng, ti)},
                 )
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 total = total - jnp.mean(
                     jnp.take_along_axis(logp, tgt[:, 1:, None], axis=-1))
-                new_stats = mutated["batch_stats"]
-            return total, new_stats
+            return total, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

@@ -81,6 +81,7 @@ class Unified6TaskTranslation(Task):
             alpha=cfg.get("alpha", 8),
             beta_inv=cfg.get("beta_inv", 8),
             feature_dim=cfg.get("lta_feature_dim", 2048),
+            joint_bos=self.vocab["<unk>"],
         )
         # vocab subsets for metric-time argmax restriction
         self.subsets = {
@@ -222,15 +223,18 @@ class Unified6TaskTranslation(Task):
                 method="predict")
             out[f"{task}_verb"] = preds["verb"]
             out[f"{task}_noun"] = preds["noun"]
-        # teacher-forced loss
+        # teacher-forced loss — ratios index the GLOBAL decode list so
+        # val_loss weights match the train objective for subset tasks
         total = 0.0
-        for di, (src, tkey, task) in enumerate(rows):
+        for di, row in enumerate(rows):
+            src, tkey, task = row
             batch = batches[src]
             tgt = batch[tkey]
             logits = state.apply_fn(
                 variables, *self._model_args(src, batch, task), tgt[:, :-1],
                 task, train=False)
-            ratio = self.ratios[di] if di < len(self.ratios) else 1.0
+            gi = DECODES.index(row) if row in DECODES else di
+            ratio = self.ratios[gi] if gi < len(self.ratios) else 1.0
             total = total + ratio * seq_ce(logits, tgt[:, 1:])
         out["loss"] = total
         return out

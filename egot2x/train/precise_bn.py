@@ -33,6 +33,15 @@ def compute_precise_bn_stats(
     up to ``num_batches`` forward passes in train mode."""
     forward_kwargs = dict(forward_kwargs or {})
     forward_kwargs.setdefault("train", True)
+
+    # jit-compile the forward once — running the conv trunk op-by-op
+    # per batch would dispatch thousands of kernels for each of the
+    # (reference default 200) precise-BN batches
+    @jax.jit
+    def _fwd(vs, *batch_args):
+        return apply_fn(vs, *batch_args, mutable=["batch_stats"],
+                        **forward_kwargs)
+
     sums = None
     n = 0
     for i, batch_args in enumerate(batches):
@@ -40,10 +49,10 @@ def compute_precise_bn_stats(
             break
         if not isinstance(batch_args, (tuple, list)):
             batch_args = (batch_args,)
-        _, mutated = apply_fn(
+        _, mutated = _fwd(
             {"params": variables["params"],
              "batch_stats": variables["batch_stats"]},
-            *batch_args, mutable=["batch_stats"], **forward_kwargs,
+            *batch_args,
         )
         # flax BN writes ema; recover this batch's stats from the ema
         # update: new = m*old + (1-m)*batch  ⇒ batch = (new - m*old)/(1-m)

@@ -106,12 +106,24 @@ class Trainer:
         self.max_epochs = max_epochs
         self.fast_dev_run = fast_dev_run
         self.root = default_root_dir
-        self.mesh = mesh if mesh is not None else make_mesh()
+        # shard wide trainable kernels over the mesh's model axis
+        # (tensor parallelism). model_parallel may be an int (the model-
+        # axis SIZE) or a bool; when no mesh is given, build one whose
+        # model axis actually has that size — the default mesh's model
+        # axis is 1, which would make the flag silently inert.
+        self.model_parallel = bool(model_parallel)
+        if mesh is None:
+            mp = int(model_parallel) if not isinstance(model_parallel, bool) \
+                else (2 if model_parallel else 1)
+            n = len(jax.devices())
+            if mp > 1 and n % mp != 0:
+                logger.warning(f"model_parallel={mp} does not divide "
+                               f"{n} devices; falling back to 1")
+                mp = 1
+            mesh = make_mesh(model=mp)
+        self.mesh = mesh
         self.log_every = log_every
         self.seed = seed
-        # shard wide trainable kernels over the mesh's model axis
-        # (tensor parallelism; no-op on a size-1 model axis)
-        self.model_parallel = model_parallel
         # recompute exact BN statistics over N train batches before each
         # validation (reference BN.USE_PRECISE_STATS, misc.py:135-192)
         self.precise_bn_batches = precise_bn_batches
@@ -245,6 +257,29 @@ class Trainer:
                     f"≤{self.precise_bn_batches} train batches")
         return state.replace(batch_stats=new_stats)
 
+    @staticmethod
+    def _fetch_local(outputs):
+        """device_get that is multi-host safe: globally sharded eval
+        outputs span non-addressable devices, so fetch only this
+        process's shards — exactly the rows contributed by its local
+        batch (``make_array_from_process_local_data``), which is what
+        ``accumulate`` pairs with the local host batch."""
+        if jax.process_count() == 1:
+            return jax.device_get(outputs)
+
+        def get(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                shards = sorted(
+                    x.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0) if s.index else 0)
+                parts = [np.asarray(s.data) for s in shards]
+                if parts[0].shape == x.shape:  # replicated: one copy
+                    return parts[0]
+                return np.concatenate(parts, axis=0)
+            return np.asarray(x)
+
+        return jax.tree_util.tree_map(get, outputs)
+
     def validate(self, state) -> Dict[str, float]:
         task = self.task
         ctx = task.start_validation()
@@ -256,12 +291,23 @@ class Trainer:
             dev_batch = self._device_batch(batch)
             outputs = self._eval_step(state, dev_batch)
             if pending is not None:
-                task.accumulate(ctx, jax.device_get(pending[0]), pending[1])
+                task.accumulate(ctx, self._fetch_local(pending[0]), pending[1])
             pending = (outputs, batch)
             if self.fast_dev_run:
                 break
         if pending is not None:
-            task.accumulate(ctx, jax.device_get(pending[0]), pending[1])
+            task.accumulate(ctx, self._fetch_local(pending[0]), pending[1])
         metrics = task.finalize_validation(ctx)
+        if jax.process_count() > 1:
+            # each process aggregated its own shard; reduce scalar
+            # metrics across processes (mean — exact for mean-type
+            # metrics; AP-type metrics become the per-process average,
+            # the same per-rank averaging the reference's scalar logs
+            # use outside its CSV mAP path)
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                {k: np.float64(v) for k, v in metrics.items()})
+            metrics = {k: float(np.mean(gathered[k])) for k in metrics}
         logger.info("validation: " + ", ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
         return metrics

@@ -221,6 +221,12 @@ class TaskTranslationPromptTransformer6Task(nn.Module):
     alpha: int = 8
     beta_inv: int = 8
     feature_dim: int = 2048  # LTA aggregator width
+    # BOS for the task12 joint-action decode: the reference prompts with
+    # vocab['action'], which torchtext maps to <unk> since 'action' is
+    # not in the vocab. Threaded from the task's vocab (default matches
+    # build_hoi_vocab's "<unk>"=9) so a layout change can't silently
+    # desynchronize train/predict BOS.
+    joint_bos: int = 9
     dtype: Dtype = jnp.float32
 
     # vocab ids fixed by build_hoi_vocab layout
@@ -315,8 +321,7 @@ class TaskTranslationPromptTransformer6Task(nn.Module):
         encoded = self.encode(frames_pnr, pathways, task, True)
         b = encoded.shape[0]
         if task == "action_joint":
-            unk = 9  # build_hoi_vocab layout: ... "</s>"=8, "<unk>"=9
-            bos = jnp.full((b, 1), unk, jnp.int32)
+            bos = jnp.full((b, 1), self.joint_bos, jnp.int32)
             verb_logits = self.core.decode(bos, encoded, True)[:, 0]
             tok1 = jnp.argmax(verb_logits, axis=-1).astype(jnp.int32)
             y2 = jnp.concatenate([bos, tok1[:, None]], axis=1)

@@ -76,6 +76,27 @@ class _HOIStreamMixin(nn.Module):
     def _freeze(self, x):
         return x if self.nofreeze else jax.lax.stop_gradient(x)
 
+    def _encode_clips_pnr(self, model, frames):
+        """frames (B, N, T, S, S, 3) → (B, N, 8192) tokens meaned over T
+        (reference encode_clips_pnr :340-347). Shared by the clip-wise
+        translators; ``model`` is the class's frozen PNR/OSCC backbone."""
+        n = frames.shape[1]
+        feats = [self._freeze(model(frames[:, i], middle=True)).mean(axis=1)
+                 for i in range(n)]
+        return jnp.stack(feats, axis=1)
+
+    def _encode_action_clips(self, pathways, train):
+        """Per-clip frozen SlowFast + live action feature head →
+        (B, N, D) clip tokens (reference encode_clips :321-337). Shared
+        by every translator defining ``action_model``/``action_head``."""
+        n = pathways[0].shape[1]
+        feats = []
+        for i in range(n):
+            s5 = self.action_model([p[:, i] for p in pathways], train=False)
+            s5 = [self._freeze(p) for p in s5]
+            feats.append(self.action_head(s5, train=train)[0])
+        return jnp.stack(feats, axis=1)
+
     def _pnr_tokens(self, frames):
         """(B, 16, 8192) per-frame tokens from the frozen PNR backbone."""
         return self._freeze(
@@ -269,16 +290,6 @@ class TaskFusionMFTransformer2TaskLTA(_HOIStreamMixin):
         self.decoder = _LtaDecode(self.num_classes, self.num_actions,
                                   dtype=self.dtype)
 
-    def _encode_action_clips(self, pathways, train):
-        n = pathways[0].shape[1]
-        feats = []
-        for i in range(n):
-            clip = [p[:, i] for p in pathways]
-            s5 = self.action_model(clip, train=False)
-            s5 = [self._freeze(p) for p in s5]
-            feats.append(self.action_head(s5, train=train)[0])
-        return jnp.stack(feats, axis=1)  # (B, N, D)
-
     def __call__(self, pathways, tgts=None, train: bool = False):
         feat_action = self._encode_action_clips(pathways, train)
         feat_lta = self._freeze(self.lta_model(pathways))
@@ -342,25 +353,6 @@ class TaskFusionMFTransformerLTA4Task(_HOIStreamMixin):
             self.num_layers, self.dropout, dtype=self.dtype)
         self.decoder = _LtaDecode(self.num_classes, self.num_actions,
                                   dtype=self.dtype)
-
-    def _encode_clips_pnr(self, model, frames):
-        """frames (B, N, T, S, S, 3) → (B, N, 8192) tokens meaned over T
-        (reference encode_clips_pnr :340-347)."""
-        n = frames.shape[1]
-        feats = [
-            self._freeze(model(frames[:, i], middle=True)).mean(axis=1)
-            for i in range(n)
-        ]
-        return jnp.stack(feats, axis=1)
-
-    def _encode_action_clips(self, pathways, train):
-        n = pathways[0].shape[1]
-        feats = []
-        for i in range(n):
-            s5 = self.action_model([p[:, i] for p in pathways], train=False)
-            s5 = [self._freeze(p) for p in s5]
-            feats.append(self.action_head(s5, train=train)[0])
-        return jnp.stack(feats, axis=1)
 
     def __call__(self, pathways, frames_pnr, tgts=None, train: bool = False):
         feat_pnr = self.proj_pnr(self._encode_clips_pnr(self.pnr_model, frames_pnr))
@@ -851,21 +843,6 @@ class TaskFusionLFLinear4Task(_HOIStreamMixin):
         self.decoder = _LtaDecode(self.num_classes, self.num_actions,
                                   dtype=self.dtype)
 
-    def _encode_clips_pnr(self, model, frames):
-        n = frames.shape[1]
-        feats = [self._freeze(model(frames[:, i], middle=True)).mean(axis=1)
-                 for i in range(n)]
-        return jnp.stack(feats, axis=1)  # (B, N, 8192)
-
-    def _encode_action_clips(self, pathways, train):
-        n = pathways[0].shape[1]
-        feats = []
-        for i in range(n):
-            s5 = self.action_model([p[:, i] for p in pathways], train=False)
-            s5 = [self._freeze(p) for p in s5]
-            feats.append(self.action_head(s5, train=train)[0])
-        return jnp.stack(feats, axis=1)  # (B, N, D)
-
     def __call__(self, pathways, frames_pnr, tgts=None, train: bool = False):
         feat_pnr = self.proj_pnr(
             self._encode_clips_pnr(self.pnr_model, frames_pnr)).mean(axis=1)
@@ -931,15 +908,6 @@ class TaskFusionMFTransformer2TaskSeqDecoder(_HOIStreamMixin):
             self.num_layers, self.feature_dim, self.num_heads,
             dim_feedforward=2048, dropout=self.dropout, dtype=self.dtype)
         self.fc = nn.Dense(self.vocab_size, dtype=self.dtype)
-
-    def _encode_action_clips(self, pathways, train):
-        n = pathways[0].shape[1]
-        feats = []
-        for i in range(n):
-            s5 = self.action_model([p[:, i] for p in pathways], train=False)
-            s5 = [self._freeze(p) for p in s5]
-            feats.append(self.action_head(s5, train=train)[0])
-        return jnp.stack(feats, axis=1)
 
     def encode(self, pathways, train=False):
         feat_action = self._encode_action_clips(pathways, train)

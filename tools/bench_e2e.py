@@ -141,6 +141,9 @@ def main():
             / np.asarray([0.229, 0.224, 0.225], np.float32)
         variables = calibrate_variables(model, variables, cal_video,
                                         *staged[1:], train=False)
+    from egot2x.nn.quant import assert_calibrated
+
+    assert_calibrated(variables)
 
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
     std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
