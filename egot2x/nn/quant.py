@@ -49,10 +49,20 @@ class QuantConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, calibrate: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, calibrate: bool = False,
+                 in_scale: Optional[jax.Array] = None) -> jax.Array:
+        """``in_scale``: when ``x`` is ALREADY int8 (quantized upstream —
+        e.g. before a maxpool so the pool runs on half the HBM traffic),
+        pass its symmetric scale and the conv consumes it directly,
+        skipping the quantize pass. Calibration always runs the float
+        path, so ``act_max`` still captures this conv's activation range
+        (for a pre-pool quantizer that range is identical: max-pooling
+        preserves the global max)."""
         kh, kw = self.kernel_size
+        pre_quantized = x.dtype == jnp.int8
+        in_features = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+                            (kh, kw, in_features, self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
@@ -69,6 +79,8 @@ class QuantConv(nn.Module):
             # float forward (init never runs the int8 path: integer
             # convs are pathologically slow on the CPU backend used for
             # parameter initialization) + record running max-abs
+            assert not pre_quantized, \
+                "calibration must run the float path end to end"
             if not self.is_initializing():
                 act_max.value = jnp.maximum(
                     act_max.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
@@ -76,9 +88,13 @@ class QuantConv(nn.Module):
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 self.strides, padding, dimension_numbers=dn)
         else:
-            s_act = jnp.maximum(act_max.value, 1e-6) / 127.0
-            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_act),
-                          -127, 127).astype(jnp.int8)
+            if pre_quantized:
+                s_act = in_scale
+                xq = x
+            else:
+                s_act = jnp.maximum(act_max.value, 1e-6) / 127.0
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_act),
+                              -127, 127).astype(jnp.int8)
             w_max = jnp.maximum(
                 jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12)
             s_w = w_max / 127.0
@@ -90,6 +106,25 @@ class QuantConv(nn.Module):
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
+
+
+def quantize_static(x: jax.Array, act_max: jax.Array):
+    """Symmetric per-tensor int8 quantize with a calibrated max-abs.
+    Returns (int8 tensor, scale) — pair with ``QuantConv(..., in_scale=)``."""
+    s = jnp.maximum(act_max, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                  -127, 127).astype(jnp.int8)
+    return xq, s
+
+
+def max_pool_int8(x: jax.Array, window, strides, padding):
+    """2-D max pool on int8 (flax ``nn.max_pool`` uses a float -inf
+    initial value). Quantizing BEFORE the pool is exact — max commutes
+    with the monotonic quantizer — and halves the pool's HBM traffic."""
+    pads = [(0, 0)] + [tuple(p) for p in padding] + [(0, 0)]
+    return jax.lax.reduce_window(
+        x, jnp.int8(-128), jax.lax.max, (1,) + tuple(window) + (1,),
+        (1,) + tuple(strides) + (1,), pads)
 
 
 def assert_calibrated(variables) -> None:

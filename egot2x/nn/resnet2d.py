@@ -44,26 +44,36 @@ class BasicBlock2D(nn.Module):
         conv = nn.Conv(features, kernel, strides=(stride, stride),
                        padding=[(kernel[0] // 2,) * 2, (kernel[1] // 2,) * 2],
                        use_bias=False, dtype=self.dtype, name=name)
-        return lambda x, calibrate=False: conv(x)
+        return lambda x, calibrate=False, in_scale=None: conv(x)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 calibrate: bool = False) -> jax.Array:
+                 calibrate: bool = False,
+                 in_scale: jax.Array = None) -> jax.Array:
+        """``in_scale``: scale of an ALREADY-int8 ``x`` (quantized
+        upstream, before the stem maxpool); the first conv consumes it
+        directly and the residual dequantizes in the add epilogue."""
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
+        pre_quantized = x.dtype == jnp.int8
         identity = x
         y = self._conv(self.filters, (3, 3), self.stride, "conv1")(
-            x, calibrate=calibrate)
+            x, calibrate=calibrate, in_scale=in_scale)
         y = norm("bn1")(y)
         y = nn.relu(y)
         y = self._conv(self.filters, (3, 3), 1, "conv2")(y, calibrate=calibrate)
         y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.filters:
             identity = self._conv(self.filters, (1, 1), self.stride,
-                                  "downsample_conv")(x, calibrate=calibrate)
+                                  "downsample_conv")(x, calibrate=calibrate,
+                                                     in_scale=in_scale)
             identity = norm("downsample_bn")(identity)
+        elif pre_quantized:
+            # dequant fuses into the residual-add epilogue; reads the
+            # int8 x (half the bytes of the float it replaced)
+            identity = (x.astype(jnp.float32) * in_scale).astype(self.dtype)
         return nn.relu(y + identity)
 
 
@@ -145,7 +155,31 @@ class ResNet2D(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # Under quant inference, quantize BEFORE the 3x3/2 maxpool: the
+        # pool then moves int8 (half the HBM traffic of bf16 — this is
+        # the stem's dominant cost at 112x112x64) and layer1's first
+        # conv consumes the int8 directly. Exact: max commutes with the
+        # monotonic quantizer, and the pre-pool max equals the post-pool
+        # max, so one calibrated scale serves both sides (measured
+        # −5.7 ms/trunk at b128, tools/exp_stem_fold.py).
+        in_scale = None
+        if self.quant:
+            from egot2x.nn.quant import max_pool_int8, quantize_static
+
+            stem_max = self.variable("quant", "stem_act_max",
+                                     lambda: jnp.zeros((), jnp.float32))
+            if calibrate or self.is_initializing():
+                if not self.is_initializing():
+                    stem_max.value = jnp.maximum(
+                        stem_max.value,
+                        jnp.max(jnp.abs(y)).astype(jnp.float32))
+                y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                                padding=[(1, 1), (1, 1)])
+            else:
+                y, in_scale = quantize_static(y, stem_max.value)
+                y = max_pool_int8(y, (3, 3), (2, 2), [(1, 1), (1, 1)])
+        else:
+            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for stage, blocks in enumerate(self.stage_sizes):
             filters = self.width * (2 ** stage)
             for b in range(blocks):
@@ -153,7 +187,8 @@ class ResNet2D(nn.Module):
                 y = BasicBlock2D(filters, stride, quant=self.quant,
                                  dtype=self.dtype,
                                  name=f"layer{stage + 1}_{b}")(
-                    y, train=train, calibrate=calibrate)
+                    y, train=train, calibrate=calibrate, in_scale=in_scale)
+                in_scale = None  # only the first block sees int8 input
         y = jnp.mean(y, axis=(1, 2))  # global average pool → (B, 512)
         if features_only:
             return y

@@ -50,7 +50,8 @@ class AVSRResNetLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 calibrate: bool = False) -> jax.Array:
+                 calibrate: bool = False,
+                 in_scale: jax.Array = None) -> jax.Array:
         if self.quant:
             from egot2x.nn.quant import QuantConv
 
@@ -58,17 +59,22 @@ class AVSRResNetLayer(nn.Module):
                 qc = QuantConv(f, (3, 3), strides=(s, s),
                                padding=[(1, 1), (1, 1)], dtype=self.dtype,
                                name=name)
-                return lambda t: qc(t, calibrate=calibrate)
+                return lambda t, scale=None: qc(t, calibrate=calibrate,
+                                                in_scale=scale)
         else:
             def conv(f, s, name):
                 c = nn.Conv(f, (3, 3), strides=(s, s),
                             padding=[(1, 1), (1, 1)], use_bias=False,
                             dtype=self.dtype, name=name)
-                return c
-        y = nn.relu(_bn(train, self.dtype, "bn1a")(conv(self.filters, self.stride, "conv1a")(x)))
+                return lambda t, scale=None: c(t)
+        y = nn.relu(_bn(train, self.dtype, "bn1a")(
+            conv(self.filters, self.stride, "conv1a")(x, in_scale)))
         y = conv(self.filters, 1, "conv2a")(y)
         if self.stride == 1:
-            residual = x
+            # dequant fuses into the residual-add epilogue when the
+            # layer input arrived pre-quantized (int8 stem pool)
+            residual = ((x.astype(jnp.float32) * in_scale).astype(self.dtype)
+                        if x.dtype == jnp.int8 else x)
         else:
             residual = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype, name="downsample")(x)
@@ -129,15 +135,20 @@ class _Stem3DConv(nn.Module):
 def _packed_phase_pool(y: jax.Array) -> jax.Array:
     """maxpool 3x3/2 pad 1 on a w-phase-packed map (N, H, W/2, 2C) ->
     (N, H/2, W/2, C); the stride-2 w-window consumes the two phases:
-    out px col m = max(A[m], B[m], B[m-1])."""
-    neg = jnp.asarray(-1e30, y.dtype)
+    out px col m = max(A[m], B[m], B[m-1]). int8-safe: quantizing
+    BEFORE this pool halves its HBM traffic (max commutes with the
+    monotonic quantizer)."""
+    if y.dtype == jnp.int8:
+        neg, pad_val = jnp.int8(-128), -128
+    else:
+        neg, pad_val = jnp.asarray(-1e30, y.dtype), -1e30
     c = y.shape[-1] // 2
     yh = jax.lax.reduce_window(
         y, neg, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
         [(0, 0), (1, 1), (0, 0), (0, 0)])
     a, b = yh[..., :c], yh[..., c:]
     b_prev = jnp.pad(b, ((0, 0), (0, 0), (1, 0), (0, 0)),
-                     constant_values=-1e30)[:, :, :-1]
+                     constant_values=pad_val)[:, :, :-1]
     return jnp.maximum(jnp.maximum(a, b), b_prev)
 
 
@@ -157,6 +168,10 @@ class VisualFrontend(nn.Module):
         bt = b * t
         stem = _Stem3DConv(64, dtype=self.dtype, name="frontend3d_conv")
         bn = _bn(train, self.dtype, "frontend3d_bn")
+        in_scale = None
+        stem_max = (self.variable("quant", "stem_act_max",
+                                  lambda: jnp.zeros((), jnp.float32))
+                    if self.quant else None)
         if train:
             # training keeps the px layout: BN batch stats must be per
             # real channel, not per (phase, channel) pair
@@ -174,11 +189,23 @@ class VisualFrontend(nn.Module):
             yv = nn.relu(bn(yv))
             y = yv.reshape(*y.shape)
             y = y.reshape(bt, *y.shape[2:])
+            # quant inference: int8 BEFORE the phase pool (half traffic;
+            # exact — see _packed_phase_pool) feeding layer1 directly
+            if self.quant:
+                from egot2x.nn.quant import quantize_static
+
+                if calibrate:
+                    stem_max.value = jnp.maximum(
+                        stem_max.value,
+                        jnp.max(jnp.abs(y)).astype(jnp.float32))
+                elif not self.is_initializing():
+                    y, in_scale = quantize_static(y, stem_max.value)
             y = _packed_phase_pool(y)           # (BT, 28, 28, 64)
         for i, (f, s) in enumerate([(64, 1), (128, 2), (256, 2), (512, 2)]):
             y = AVSRResNetLayer(f, s, quant=self.quant, dtype=self.dtype,
                                 name=f"layer{i + 1}")(
-                y, train=train, calibrate=calibrate)
+                y, train=train, calibrate=calibrate, in_scale=in_scale)
+            in_scale = None  # only layer1 sees the int8 stem output
         # AvgPool2d(4,4) stride 1 on a 4x4 map == global mean
         y = jnp.mean(y, axis=(1, 2))
         return y.reshape(b, t, 512)
