@@ -126,8 +126,24 @@ class MultiTaskClassificationTask(Task):
 
     # multi-view ensembling: sum logits per clip id (reference :106-158)
     def start_validation(self):
-        return {"verb": defaultdict(lambda: 0.0), "noun": defaultdict(lambda: 0.0),
+        # float factory (not a lambda): the ctx crosses pickle in the
+        # multi-host validation gather (Task.merge_validation)
+        return {"verb": defaultdict(float), "noun": defaultdict(float),
                 "verb_label": {}, "noun_label": {}}
+
+    def merge_validation(self, ctxs):
+        """Cross-process merge: clips of one uid may land on different
+        processes (strided sharding), so per-uid logit sums ADD while
+        the label maps overwrite — identical labels, not counters
+        (reference lta_metrics.py gather + get_mean semantics)."""
+        out = self.start_validation()
+        for c in ctxs:
+            for key in ("verb", "noun"):
+                for uid, v in c[key].items():
+                    out[key][uid] = out[key][uid] + v
+            for key in ("verb_label", "noun_label"):
+                out[key].update(c[key])
+        return out
 
     def accumulate(self, ctx, outputs, batch):
         vl = np.asarray(outputs["verb_logits"])

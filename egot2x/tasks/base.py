@@ -65,3 +65,61 @@ class Task:
 
     def finalize_validation(self, ctx: Any) -> Dict[str, float]:
         raise NotImplementedError
+
+    def merge_validation(self, ctxs) -> Any:
+        """Multi-host: merge the per-process validation contexts into
+        ONE global context before ``finalize_validation``, so AP/ED-type
+        metrics are computed once over all samples — the reference
+        gathers raw predictions, not per-rank metric averages
+        (HHI/utils/lam/utils.py:61-80 CSV merge,
+        HOI/evaluation/lta/lta_metrics.py:23-84 all_gather).
+
+        The default leaf-wise merge (counters sum, per-sample lists /
+        arrays concatenate, sets union, dicts merge recursively by key
+        union) is exact for every record-style context; tasks whose
+        contexts hold uid-keyed maps with overwrite semantics (AR
+        clip-ensembling labels, TTM segment spans) override this.
+        """
+        return merge_contexts(ctxs)
+
+
+def merge_contexts(ctxs):
+    """Generic leaf-wise merge of per-process validation contexts.
+
+    Rules: numeric scalars SUM (counter semantics), lists concatenate,
+    sets union, 1-d+ arrays concatenate along axis 0, 0-d arrays sum,
+    dicts (incl. defaultdicts) merge recursively over the key union —
+    so a uid-keyed ``defaultdict(list)`` accumulates every process's
+    per-sample records and a ``defaultdict(float)`` sums ensembled
+    logits. Strings/bools/None take the first value.
+    """
+    import numpy as np
+    from collections import defaultdict
+
+    first = ctxs[0]
+    if len(ctxs) == 1:
+        return first
+    if isinstance(first, dict):
+        out = (defaultdict(first.default_factory)
+               if isinstance(first, defaultdict) else type(first)())
+        keys = []
+        for c in ctxs:
+            for k in c.keys():
+                if k not in keys:
+                    keys.append(k)
+        for k in keys:
+            out[k] = merge_contexts([c[k] for c in ctxs if k in c])
+        return out
+    if isinstance(first, (bool, str)) or first is None:
+        return first
+    if isinstance(first, (int, float, np.integer, np.floating)):
+        return type(first)(sum(ctxs))
+    if isinstance(first, list):
+        return [x for c in ctxs for x in c]
+    if isinstance(first, set):
+        return set().union(*ctxs)
+    if isinstance(first, np.ndarray):
+        if first.ndim == 0:
+            return np.asarray(sum(ctxs))
+        return np.concatenate(ctxs, axis=0)
+    return first

@@ -120,6 +120,22 @@ class TalkingToMe(Task):
             lo, hi = ctx["span"].get(seg, (s, e))
             ctx["span"][seg] = (min(lo, s), max(hi, e))
 
+    def merge_validation(self, ctxs):
+        """Cross-process merge: a segment's bucketed chunks may land on
+        different processes, so per-segment logit lists concatenate,
+        labels overwrite (identical), and spans take the (min, max)
+        envelope — the global mAP is then computed once in finalize
+        (reference utils/lam CSV merge semantics)."""
+        out = self.start_validation()
+        for c in ctxs:
+            for seg, chunks in c["logits"].items():
+                out["logits"][seg].extend(chunks)
+            out["label"].update(c["label"])
+            for seg, (s, e) in c["span"].items():
+                lo, hi = out["span"].get(seg, (s, e))
+                out["span"][seg] = (min(lo, s), max(hi, e))
+        return out
+
     def finalize_validation(self, ctx) -> Dict[str, float]:
         if not ctx["logits"]:
             return {"val_mAP": 0.0, "val_acc": 0.0}

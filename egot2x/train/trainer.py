@@ -297,17 +297,17 @@ class Trainer:
                 break
         if pending is not None:
             task.accumulate(ctx, self._fetch_local(pending[0]), pending[1])
-        metrics = task.finalize_validation(ctx)
         if jax.process_count() > 1:
-            # each process aggregated its own shard; reduce scalar
-            # metrics across processes (mean — exact for mean-type
-            # metrics; AP-type metrics become the per-process average,
-            # the same per-rank averaging the reference's scalar logs
-            # use outside its CSV mAP path)
-            from jax.experimental import multihost_utils
+            # gather every process's raw validation context and merge
+            # into ONE global context before computing metrics — exact
+            # for AP/ED-type metrics, matching the reference's
+            # raw-prediction gathers (HHI/utils/lam/utils.py:61-80,
+            # HOI/evaluation/lta/lta_metrics.py:23-84) rather than
+            # per-rank metric averaging. Every process computes the
+            # identical global result.
+            from egot2x.core.dist import all_gather_objects
 
-            gathered = multihost_utils.process_allgather(
-                {k: np.float64(v) for k, v in metrics.items()})
-            metrics = {k: float(np.mean(gathered[k])) for k in metrics}
+            ctx = task.merge_validation(all_gather_objects(ctx))
+        metrics = task.finalize_validation(ctx)
         logger.info("validation: " + ", ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
         return metrics
