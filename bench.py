@@ -9,8 +9,13 @@ proxy (1000 clips/s ⇒ 5x target ratio = 5.0).
 Inference config: bf16 activations with int8 static-PTQ conv trunks
 (egot2x/nn/quant.py) — weights per-channel int8 from the same f32
 checkpoint params, activation scales calibrated on the bench batch.
-Float-parity of the int8 path is gated in tests/test_quant.py
-(cosine > 0.995 on random weights; trained weights quantize tighter).
+Accuracy of the benched int8 config is gated by tests:
+  * tests/test_quant.py — single-trunk cosine > 0.995 on random weights;
+  * tests/test_quant_gate.py — the FULL flagship translator, trained on
+    the synthetic TTM fixture: val mAP delta float-vs-int8 <= 0.002
+    (the north star's 0.2-pt analogue) and full-graph logit
+    cosine > 0.99. If static PTQ ever breaks task accuracy, the bench
+    config fails CI before the number ships.
 """
 
 import json
