@@ -421,6 +421,85 @@ def mvit_rules(depth: int = 16, num_heads_out: int = 2,
     return rules
 
 
+def torch_encoder_rules(src_prefix: str, dst_prefix: List[str],
+                        num_layers: int):
+    """torch ``nn.TransformerEncoder`` (layers.{i}.{self_attn, linear1,
+    linear2, norm1, norm2}) → egot2x TransformerEncoder (layers_{i})."""
+    rules = []
+    for i in range(num_layers):
+        sp = f"{src_prefix}.layers.{i}"
+        dp = dst_prefix + [f"layers_{i}"]
+        rules += mha_rules(sp + ".self_attn", dp + ["self_attn"])
+        for leaf in ("linear1", "linear2"):
+            rules += _linear_rule(f"{sp}.{leaf}", dp + [leaf])
+        for norm in ("norm1", "norm2"):
+            rules += [
+                (f"{sp}.{norm}.weight", ("params", dp + [norm, "scale"]), t_id),
+                (f"{sp}.{norm}.bias", ("params", dp + [norm, "bias"]), t_id),
+            ]
+    return rules
+
+
+def torch_decoder_rules(src_prefix: str, dst_prefix: List[str],
+                        num_layers: int):
+    """torch ``nn.TransformerDecoder`` (layers.{i}.{self_attn,
+    multihead_attn, linear1, linear2, norm1..3}) → egot2x
+    TransformerDecoder (layers_{i})."""
+    rules = []
+    for i in range(num_layers):
+        sp = f"{src_prefix}.layers.{i}"
+        dp = dst_prefix + [f"layers_{i}"]
+        rules += mha_rules(sp + ".self_attn", dp + ["self_attn"])
+        rules += mha_rules(sp + ".multihead_attn", dp + ["multihead_attn"])
+        for leaf in ("linear1", "linear2"):
+            rules += _linear_rule(f"{sp}.{leaf}", dp + [leaf])
+        for norm in ("norm1", "norm2", "norm3"):
+            rules += [
+                (f"{sp}.{norm}.weight", ("params", dp + [norm, "scale"]), t_id),
+                (f"{sp}.{norm}.bias", ("params", dp + [norm, "bias"]), t_id),
+            ]
+    return rules
+
+
+def ts_pnr_rules(num_layers: int = 1):
+    """Full ``TaskFusionMFTransformer3TaskDropout`` (the ts_pnr/ts_oscc
+    translator, HOI/models/pnr/video_model_transfer_3task.py:213-258)
+    state_dict → egot2x tree: both frozen ResNet3D backbones, the frozen
+    SlowFast, the four stream projections, the shared pre-PE/head
+    LayerNorm (``ln`` IS ``linear_head.0`` — one module registered
+    twice), the learned PE, and the torch encoder stack.
+
+    The Stage-I head projections (Keyframe_localisation_head /
+    State_detection_head) exist in reference checkpoints but are dead
+    under ``middle=True`` and therefore absent from the flax tree — load
+    through ``partial_match_load`` to prune them.
+    """
+    rules = []
+    rules += resnet3d_rules("pnr_model", ["pnr_model", "trunk"])
+    rules += _linear_rule("pnr_model.Keyframe_localisation_head.projection",
+                          ["pnr_model", "head", "projection"])
+    rules += resnet3d_rules("oscc_model", ["oscc_model", "trunk"])
+    rules += _linear_rule("oscc_model.State_detection_head.projection",
+                          ["oscc_model", "head", "projection"])
+    rules += slowfast_rules("recognition_model", ["action_model"])
+    for proj in ("proj1", "proj2", "proj3_slow", "proj3_fast"):
+        rules += _linear_rule(proj, [proj])
+    rules += [
+        ("pe", ("params", ["core", "pe"]), t_id),
+        ("ln.weight", ("params", ["core", "ln", "scale"]), t_id),
+        ("ln.bias", ("params", ["core", "ln", "bias"]), t_id),
+        # linear_head.0 is the SAME LayerNorm object as ``ln`` — torch
+        # serializes shared modules under every registered name; both
+        # map onto the one tied flax param.
+        ("linear_head.0.weight", ("params", ["core", "ln", "scale"]), t_id),
+        ("linear_head.0.bias", ("params", ["core", "ln", "bias"]), t_id),
+    ]
+    rules += torch_encoder_rules("transformer", ["core", "transformer"],
+                                 num_layers)
+    rules += _linear_rule("linear_head.1", ["head_fc"])
+    return rules
+
+
 # ---- caffe2 / partial-match loaders -------------------------------------
 
 _C2_PAIRS = [
@@ -525,6 +604,7 @@ FAMILIES: Dict[str, Callable[[], list]] = {
     "mvit": mvit_rules,
     "pnr_keyframe": pnr_keyframe_rules,
     "oscc": oscc_rules,
+    "ts_pnr": ts_pnr_rules,
 }
 
 

@@ -665,8 +665,14 @@ class FinetuneAction(_HOIStreamMixin):
         b = slow.shape[0]
         slow_tok = self._freeze(jnp.mean(slow, axis=(2, 3)))  # (B, Ts, 2048)
         fast_tok = self._freeze(jnp.mean(fast, axis=(2, 3)))  # (B, Tf, 256)
-        feat_slow = adaptive_avg_pool_time(slow_tok, 2).reshape(b, -1)
-        feat_fast = adaptive_avg_pool_time(fast_tok, 16).reshape(b, -1)
+        # reference flattens the (B, C, T', 1, 1) pooled map with
+        # reshape(bs, -1) — CHANNEL-major [c0t0, c0t1, ...], so swap
+        # (T', C) -> (C, T') before flattening or fc weights would be
+        # permuted vs reference checkpoints (lta_models_transfer.py:64-66)
+        feat_slow = jnp.swapaxes(
+            adaptive_avg_pool_time(slow_tok, 2), 1, 2).reshape(b, -1)
+        feat_fast = jnp.swapaxes(
+            adaptive_avg_pool_time(fast_tok, 16), 1, 2).reshape(b, -1)
         x = jnp.concatenate([feat_slow, feat_fast], axis=1)  # (B, 8192)
         return [nn.Dense(self.num_classes[0], dtype=self.dtype, name="fc1")(x),
                 nn.Dense(self.num_classes[1], dtype=self.dtype, name="fc2")(x)]
