@@ -34,7 +34,11 @@ from egot2x.tasks.multitask_hhi import seq_ce
 from egot2x.train.optim import construct_optimizer
 from egot2x.train.state import TrainState, merge_trees, split_params
 from egot2x.translate.egot2g import HOI_G_FROZEN_KEYS
-from egot2x.translate.vocab import build_hoi_vocab, map_label_to_action
+from egot2x.translate.vocab import (
+    build_hoi_vocab,
+    build_hoi_vocab_task12,
+    map_label_to_action,
+)
 
 import egot2x.translate.egot2g  # noqa: F401
 
@@ -67,10 +71,24 @@ class Unified6TaskTranslation(Task):
         self.cfg = cfg
         tax = cfg.get("taxonomy") or os.path.join(cfg.lta_root,
                                                   "fho_lta_taxonomy.json")
-        self.vocab = build_hoi_vocab(tax)
+        self.vocab = self._build_vocab(tax)
         self.verb_dict, self.noun_dict = map_label_to_action(tax)
         self.ratios = cfg.get("loss_ratios", [1.0] * 6)
-        self.model = build_model(
+        self.model = self._build_model(cfg)
+        # vocab subsets for metric-time argmax restriction
+        self.subsets = {
+            "pnr": np.asarray([self.vocab[str(i)] for i in range(16)]),
+            "oscc": np.asarray([self.vocab["False"], self.vocab["True"]]),
+            "verb": np.unique([self.vocab[v] for v in self.verb_dict.values()]),
+            "noun": np.unique([self.vocab[n] for n in self.noun_dict.values()]),
+        }
+
+    # -- model/vocab hooks (overridden by the dedicated subset tasks) -------
+    def _build_vocab(self, taxonomy_path):
+        return build_hoi_vocab(taxonomy_path)
+
+    def _build_model(self, cfg):
+        return build_model(
             "TaskTranslationPromptTransformer6Task",
             vocab_size=len(self.vocab),
             hidden_dim=cfg.get("hidden_dim", 256),
@@ -83,13 +101,6 @@ class Unified6TaskTranslation(Task):
             feature_dim=cfg.get("lta_feature_dim", 2048),
             joint_bos=self.vocab["<unk>"],
         )
-        # vocab subsets for metric-time argmax restriction
-        self.subsets = {
-            "pnr": np.asarray([self.vocab[str(i)] for i in range(16)]),
-            "oscc": np.asarray([self.vocab["False"], self.vocab["True"]]),
-            "verb": np.unique([self.vocab[v] for v in self.verb_dict.values()]),
-            "noun": np.unique([self.vocab[n] for n in self.noun_dict.values()]),
-        }
 
     # -- data ---------------------------------------------------------------
     def _loaders(self, split):
@@ -152,16 +163,26 @@ class Unified6TaskTranslation(Task):
         lta_pathways = [jnp.zeros((1, n, t // a, s, s, 3), jnp.float32),
                         jnp.zeros((1, n, t, s, s, 3), jnp.float32)]
         tgt = jnp.zeros((1, 2), jnp.int32)
-        variables = self.model.init(rng, frames, pathways, tgt, "pnr",
-                                    train=False)
-        # lta branch has extra submodules: init them too and merge
-        lta_vars = self.model.init(rng, lta_frames, lta_pathways, tgt, "lta",
-                                   train=False)
-        variables = jax.tree_util.tree_map(
-            lambda a: a, merge_trees(lta_vars, dict(variables)))
+        # init one model-graph variant per active source family and
+        # merge: the lta branch has extra submodules, and the dedicated
+        # subset models (2Task / ActionTask) reject shapes for sources
+        # they do not build backbones for
+        inits = []
+        if "pnr" in self.active_sources:
+            inits.append((frames, pathways, "pnr"))
+        elif "action" in self.active_sources:
+            inits.append((frames, pathways, "action"))
+        if "lta" in self.active_sources:
+            inits.append((lta_frames, lta_pathways, "lta"))
+        variables = None
+        for f, pw, tname in inits:
+            v = self.model.init(rng, f, pw, tgt, tname, train=False)
+            variables = (dict(v) if variables is None else
+                         jax.tree_util.tree_map(
+                             lambda a: a, merge_trees(v, dict(variables))))
         trainable, frozen = split_params(
             variables["params"], lambda k: k in HOI_G_FROZEN_KEYS
-            or k in ("lta_backbone", "lta_aggregator"))
+            or k in ("action_model", "lta_backbone", "lta_aggregator"))
         tx = construct_optimizer(trainable, method="adam", lr=c.lr)
         return TrainState.create(
             apply_fn=self.model.apply, params=trainable, frozen=frozen, tx=tx,
@@ -346,18 +367,55 @@ class Unified4TaskTranslation(Unified6TaskTranslation):
 
 
 class Unified4TaskTranslationAction(Unified6TaskTranslation):
-    """action + lta verb/noun decodes, no pnr streams (reference
-    unify4taskaction, video_task_action.py:19-120; the reference uses a
-    dedicated 2-stream prompt model — here the unified model simply
-    omits the pnr loader/decodes, a documented simplification)."""
+    """action + lta verb/noun decodes via the DEDICATED 2-stream prompt
+    model (reference unify4taskaction, video_task_action.py:19-31 →
+    TaskTranslationPromptTransformer[Temporal]ActionTask,
+    video_model_builder_action.py:21-215): only the AR/LTA backbones
+    are built, so the parameter tree matches reference action-task
+    checkpoints shape-exact. ``cfg.action_model_variant`` mirrors the
+    reference ``args.model`` switch ('temporal' → the 2+2-token
+    temporal variant, the usable default at hidden_dim 256)."""
 
     active_sources = ("action", "lta")
 
+    def _build_model(self, cfg):
+        return build_model(
+            "TaskTranslationPromptTransformerActionTask",
+            vocab_size=len(self.vocab),
+            hidden_dim=cfg.get("hidden_dim", 256),
+            num_heads=cfg.get("num_heads", 4),
+            num_layers=cfg.get("num_layers", 3),
+            dropout=cfg.get("dropout", 0.1),
+            alpha=cfg.get("alpha", 8),
+            beta_inv=cfg.get("beta_inv", 8),
+            feature_dim=cfg.get("lta_feature_dim", 2048),
+            temporal=cfg.get("action_model_variant", "temporal") == "temporal",
+        )
+
 
 class Task12Translation(Unified6TaskTranslation):
-    """pnr + oscc only (reference task12)."""
+    """pnr + oscc only through the DEDICATED 2-backbone prompt model and
+    the reduced 22-token vocab (reference task12,
+    video_task_separate.py:298-306 → TaskTranslationPromptTransformer2Task,
+    video_model_builder_2task.py:51-166): no SlowFast/LTA backbones are
+    constructed, so compile time and parameters match the reference and
+    its checkpoints import shape-exact."""
 
     active_sources = ("pnr",)
+
+    def _build_vocab(self, taxonomy_path):
+        return build_hoi_vocab_task12()
+
+    def _build_model(self, cfg):
+        return build_model(
+            "TaskTranslationPromptTransformer2Task",
+            vocab_size=len(self.vocab),
+            hidden_dim=cfg.get("hidden_dim", 256),
+            num_heads=cfg.get("num_heads", 4),
+            num_layers=cfg.get("num_layers", 3),
+            dropout=cfg.get("dropout", 0.1),
+            crop_size=cfg.get("pnr_crop", 225),
+        )
 
 
 class PnrOnlyTaskTranslation(Unified6TaskTranslation):

@@ -208,6 +208,188 @@ class TaskPromptTransformer(_HHIPromptBase):
         return out[:, 0, -2:]
 
 
+@MODEL_REGISTRY.register(name="TaskTranslationPromptTransformer2Task")
+class TaskTranslationPromptTransformer2Task(nn.Module):
+    """Dedicated task12 prompt model: builds ONLY the PNR/OSCC backbones
+    (reference HOI/models/multitask/video_model_builder_2task.py:51-166,
+    used by Task12Translation, video_task_separate.py:298-306).
+
+    The parameter tree carries exactly the reference's modules
+    (pnr_model, oscc_model, proj_pnr, proj_oscc, 2-slot task_embed,
+    encoder/decoder/embedding/fc/ln), so a reference 2task checkpoint
+    maps shape-exact — unlike the 6-task model, which also constructs
+    the unused SlowFast/LTA backbones. Signature-compatible with the
+    6-task model (the pathways/task call args are accepted; encoding
+    always fuses both streams, reference ``encode`` :128-139) so the
+    Task layer drives either model unchanged.
+    """
+
+    vocab_size: int
+    hidden_dim: int = 256
+    num_heads: int = 4
+    num_layers: int = 3
+    dropout: float = 0.1
+    crop_size: int = 225
+    dtype: Dtype = jnp.float32
+
+    # vocab ids fixed by build_hoi_vocab_task12 layout
+    TASK_IDS = {"pnr": 0, "oscc": 1}
+
+    def setup(self):
+        self.core = _PromptCore(self.vocab_size, self.hidden_dim,
+                                self.num_heads, self.num_layers, 2,
+                                self.dropout, dtype=self.dtype)
+        self.proj_pnr = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.proj_oscc = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.pnr_model = KeyframeLocalizationResNet(crop_size=self.crop_size,
+                                                    dtype=self.dtype)
+        self.oscc_model = StateChangeClsResNet(crop_size=self.crop_size,
+                                               no_temp_pool=True,
+                                               dtype=self.dtype)
+
+    def encode(self, frames_pnr, pathways=None, task: str = "pnr",
+               deterministic=True):
+        pnr = jax.lax.stop_gradient(self.pnr_model(frames_pnr, middle=True))
+        oscc = jax.lax.stop_gradient(self.oscc_model(frames_pnr, middle=True))
+        x1 = self.core.encode_prepare(self.proj_pnr(pnr), 0, deterministic)
+        x2 = self.core.encode_prepare(self.proj_oscc(oscc), 1, deterministic)
+        return self.core.run_encoder(jnp.concatenate([x1, x2], axis=1),
+                                     deterministic)
+
+    def __call__(self, frames_pnr, pathways, target, task: str = "pnr",
+                 train: bool = False):
+        det = not train
+        encoded = self.encode(frames_pnr, pathways, task, det)
+        return self.core.decode(target, encoded, det)
+
+    def predict(self, frames_pnr, pathways, task: str):
+        encoded = self.encode(frames_pnr, pathways, task, True)
+        bos = jnp.full((encoded.shape[0], 1), self.TASK_IDS[task], jnp.int32)
+        return self.core.decode(bos, encoded, True)[:, 0]
+
+
+@MODEL_REGISTRY.register(name="TaskTranslationPromptTransformerActionTask")
+class TaskTranslationPromptTransformerActionTask(nn.Module):
+    """Dedicated unify4taskaction prompt model: AR + LTA backbones only
+    (reference HOI/models/multitask/video_model_builder_action.py:21-215,
+    behind Unified4TaskTranslationAction, video_task_action.py:19-31).
+
+    ``temporal=False`` — the base variant: action tasks encode the
+    single with-head clip feature; LTA tasks concatenate per-clip
+    action-head tokens with LTA aggregator tokens and add the learned
+    (1, 4, D) ``pe`` (reference ``encode`` :146-162; the base variant
+    uses the LTA tokens unprojected, so hidden_dim must equal the
+    aggregator width).
+    ``temporal=True`` — ``TaskTranslationPromptTransformerTemporal-
+    ActionTask`` (:193-215): action tasks encode 2+2 pooled s5
+    slow/fast tokens through dedicated projections; LTA tokens go
+    through ``proj_lta`` and both streams get task embeddings + an
+    extra LayerNorm.
+
+    The AR trunk is frozen but its feature head stays live (reference
+    freeze_backbone_params), hence the separate ``action_head``.
+    """
+
+    vocab_size: int
+    hidden_dim: int = 256
+    num_heads: int = 4
+    num_layers: int = 3
+    dropout: float = 0.1
+    alpha: int = 8
+    beta_inv: int = 8
+    feature_dim: int = 2048  # LTA aggregator width
+    temporal: bool = True
+    dtype: Dtype = jnp.float32
+
+    # vocab ids fixed by build_hoi_vocab layout
+    TASK_IDS = {"action_verb": 2, "action_noun": 3, "lta_verb": 4,
+                "lta_noun": 5}
+
+    def setup(self):
+        self.core = _PromptCore(self.vocab_size, self.hidden_dim,
+                                self.num_heads, self.num_layers, 2,
+                                self.dropout, dtype=self.dtype)
+        self.pe = self.param("pe", nn.initializers.normal(1.0),
+                             (1, 4, self.hidden_dim), jnp.float32)
+        self.action_model = SlowFast(alpha=self.alpha, beta_inv=self.beta_inv,
+                                     dtype=self.dtype)
+        self.action_head = MultiTaskHead((self.hidden_dim,), 0.5, act="none",
+                                         dtype=self.dtype)
+        self.lta_backbone = SlowFastFeature(self.feature_dim, self.alpha,
+                                            self.beta_inv, dtype=self.dtype)
+        self.lta_aggregator = TransformerAggregator(dim=self.feature_dim,
+                                                    dtype=self.dtype)
+        if self.temporal:
+            self.proj_action_slow = nn.Dense(self.hidden_dim, dtype=self.dtype)
+            self.proj_action_fast = nn.Dense(self.hidden_dim, dtype=self.dtype)
+            self.proj_lta = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        elif self.hidden_dim != self.feature_dim:
+            raise ValueError(
+                "base (non-temporal) ActionTask uses unprojected LTA tokens: "
+                f"hidden_dim ({self.hidden_dim}) must equal feature_dim "
+                f"({self.feature_dim}) — reference "
+                "video_model_builder_action.py:150-156")
+
+    def _fz(self, x):
+        return jax.lax.stop_gradient(x)
+
+    def _clip_action_feats(self, pathways, train):
+        """Per-clip frozen SlowFast s5 + live head → (B, N, D)."""
+        n = pathways[0].shape[1]
+        feats = []
+        for i in range(n):
+            s5 = self.action_model([p[:, i] for p in pathways], train=False)
+            feats.append(self.action_head([self._fz(p) for p in s5],
+                                          train=train)[0])
+        return jnp.stack(feats, axis=1)
+
+    def encode(self, frames_pnr, pathways, task: str, deterministic=True):
+        if "lta" in task:
+            feat_action = self._clip_action_feats(pathways, not deterministic)
+            n = pathways[0].shape[1]
+            lta_feats = [self.lta_backbone([p[:, i] for p in pathways],
+                                           train=False) for i in range(n)]
+            feat_lta = self._fz(self.lta_aggregator(lta_feats, middle=True,
+                                                    deterministic=True))
+            if self.temporal:
+                x1 = self.core.encode_prepare(feat_action, 0, deterministic)
+                x2 = self.core.encode_prepare(self.proj_lta(feat_lta), 1,
+                                              deterministic)
+                tokens = self.core.ln(jnp.concatenate([x1, x2], axis=1))
+            else:
+                feat = jnp.concatenate([feat_action, feat_lta], axis=1)
+                tokens = self.core.ln(feat) + self.pe[:, : feat.shape[1], :]
+        else:
+            if self.temporal:
+                slow, fast = self.action_model(pathways, train=False)
+                slow_tok = self.proj_action_slow(self._fz(
+                    adaptive_avg_pool_time(jnp.mean(slow, axis=(2, 3)), 2)))
+                fast_tok = self.proj_action_fast(self._fz(
+                    adaptive_avg_pool_time(jnp.mean(fast, axis=(2, 3)), 2)))
+                feat = jnp.concatenate([slow_tok, fast_tok], axis=1)
+            else:
+                s5 = self.action_model(pathways, train=False)
+                feat = self.action_head([self._fz(p) for p in s5],
+                                        train=not deterministic)[0][:, None, :]
+            tokens = self.core.encode_prepare(feat, 0, deterministic)
+        return self.core.run_encoder(tokens, deterministic)
+
+    def __call__(self, frames_pnr, pathways, target, task: str,
+                 train: bool = False):
+        det = not train
+        encoded = self.encode(frames_pnr, pathways, task, det)
+        return self.core.decode(target, encoded, det)
+
+    def predict(self, frames_pnr, pathways, task: str):
+        encoded = self.encode(frames_pnr, pathways, task, True)
+        b = encoded.shape[0]
+        out = {}
+        for sub in ("verb", "noun"):
+            bos = jnp.full((b, 1), self.TASK_IDS[f"{task}_{sub}"], jnp.int32)
+            out[sub] = self.core.decode(bos, encoded, True)[:, 0]
+        return out
+
+
 @MODEL_REGISTRY.register(name="TaskTranslationPromptTransformer6Task")
 class TaskTranslationPromptTransformer6Task(nn.Module):
     """HOI EgoT2-g over pnr/oscc/action/lta with a 619-token vocab."""

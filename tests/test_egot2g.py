@@ -120,3 +120,62 @@ def test_hoi_prompt_6task(tmp_path, rng):
     assert pred.shape == (1, len(v))
     preds = model.apply(variables, frames, pathways, "action", method="predict")
     assert set(preds) == {"verb", "noun"}
+
+
+def test_hoi_prompt_2task(rng):
+    """Dedicated task12 model: only pnr/oscc backbones are built
+    (reference video_model_builder_2task.py:51-166)."""
+    from egot2x.translate.vocab import build_hoi_vocab_task12
+
+    v = build_hoi_vocab_task12()
+    assert v["pnr"] == 0 and v["oscc"] == 1 and len(v) == 22
+    model = build_model("TaskTranslationPromptTransformer2Task",
+                        vocab_size=len(v), hidden_dim=64, num_layers=1,
+                        crop_size=S + 1)
+    frames = jnp.asarray(rng.uniform(0, 255, (1, T, S + 1, S + 1, 3)),
+                         dtype=jnp.float32)
+    tgt = jnp.zeros((1, 2), jnp.int32)
+    variables = model.init(jax.random.key(0), frames, None, tgt, "pnr",
+                           train=False)
+    # no SlowFast/LTA backbones in the tree — the model builds only what
+    # a reference 2task checkpoint carries
+    top = set(variables["params"])
+    assert {"pnr_model", "oscc_model", "proj_pnr", "proj_oscc",
+            "core"} <= top
+    assert not top & {"recognition_model", "action_model", "lta_backbone",
+                      "lta_aggregator"}
+    assert variables["params"]["core"]["task_embed"].shape == (1, 2, 64)
+    out = model.apply(variables, frames, None, tgt, "oscc", train=False)
+    assert out.shape == (1, 2, len(v))
+    pred = model.apply(variables, frames, None, "pnr", method="predict")
+    assert pred.shape == (1, len(v))
+
+
+@pytest.mark.parametrize("temporal", [False, True])
+def test_hoi_prompt_action_task(rng, temporal):
+    """Dedicated unify4taskaction model: AR/LTA backbones only
+    (reference video_model_builder_action.py:21-215)."""
+    dim = 32 if not temporal else 64  # base variant: unprojected LTA tokens
+    model = build_model("TaskTranslationPromptTransformerActionTask",
+                        vocab_size=30, hidden_dim=dim, num_layers=1,
+                        alpha=4, feature_dim=32, temporal=temporal)
+    pw = [jnp.asarray(rng.standard_normal((1, 2, S, S, 3)), jnp.float32),
+          jnp.asarray(rng.standard_normal((1, 8, S, S, 3)), jnp.float32)]
+    lta_pw = [p[:, None].repeat(2, axis=1) for p in pw]
+    tgt = jnp.zeros((1, 2), jnp.int32)
+    variables = model.init(jax.random.key(0), None, pw, tgt, "action",
+                           train=False)
+    lta_vars = model.init(jax.random.key(0), None, lta_pw, tgt, "lta",
+                          train=False)
+    from egot2x.train.state import merge_trees
+
+    variables = jax.tree_util.tree_map(
+        lambda a: a, merge_trees(lta_vars, dict(variables)))
+    assert "pnr_model" not in variables["params"]
+    out = model.apply(variables, None, pw, tgt, "action_verb", train=False)
+    assert out.shape == (1, 2, 30)
+    out = model.apply(variables, None, lta_pw, tgt, "lta_noun", train=False)
+    assert out.shape == (1, 2, 30)
+    preds = model.apply(variables, None, lta_pw, "lta", method="predict")
+    assert set(preds) == {"verb", "noun"}
+    assert preds["verb"].shape == (1, 30)

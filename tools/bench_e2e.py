@@ -188,6 +188,52 @@ def main():
         "host_cores": os.cpu_count(),
     }))
 
+    # -- e2e from-memory: pre-decoded uint8 clips in RAM -> BatchLoader
+    # collate -> device_put -> fwd. Removes the jpeg-decode host floor
+    # (this box has 1 core; a v5e host has >200), so the ratio
+    # e2e_mem / device_only shows whether the PIPELINE — collation,
+    # host->device transfer, dispatch — can keep the chip busy
+    # (VERDICT r2 weak #3; target >= 0.9).
+    print("pre-decoding clips into RAM...", file=sys.stderr)
+    ram_items = [ds[i] for i in range(len(ds))]
+
+    class RamDataset:
+        def __len__(self):
+            return len(ram_items)
+
+        def __getitem__(self, idx):
+            return ram_items[idx]
+
+    mem_loader = BatchLoader(RamDataset(), BATCH, mode="train",
+                             num_workers=0, prefetch=2)
+    # warm one epoch (page-stable), then time several epochs
+    outs = []
+    for batch in mem_loader:
+        args = tuple(jax.device_put(jnp.asarray(batch[k]), dev) for k in keys)
+        outs.append(fwd(variables, *args))
+    _ = [np.asarray(o) for o in outs]
+    n_epochs = 4
+    outs = []
+    n_batches = 0
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        for batch in mem_loader:
+            args = tuple(jax.device_put(jnp.asarray(batch[k]), dev)
+                         for k in keys)
+            outs.append(fwd(variables, *args))
+            n_batches += 1
+    _ = [np.asarray(o) for o in outs]
+    mem_dt = time.perf_counter() - t0
+    mem_rate = n_batches * BATCH / mem_dt
+    print(json.dumps({
+        "metric": "egot2s_ttm_3task_e2e_from_memory_clips_per_sec",
+        "value": round(mem_rate, 2),
+        "unit": "clips/s/chip",
+        "device_only": round(dev_rate, 2),
+        "pipeline_efficiency": round(mem_rate / max(dev_rate, 1e-9), 3),
+        "host_cores": os.cpu_count(),
+    }))
+
 
 if __name__ == "__main__":
     main()
