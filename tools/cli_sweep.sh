@@ -26,6 +26,7 @@ run egot2x.cli.multitask_run --task unify6task --synthetic --fast_dev_run
 run egot2x.cli.multitask_run --task unify3task --synthetic --fast_dev_run
 run egot2x.cli.multitask_run --task unify4task --synthetic --fast_dev_run
 run egot2x.cli.multitask_run --task unify4taskaction --synthetic --fast_dev_run
+run egot2x.cli.multitask_run --task task12 --synthetic --fast_dev_run
 run egot2x.cli.multitask_run --task pnr_only --synthetic --fast_dev_run
 run egot2x.cli.multitask_run --task oscc_only --synthetic --fast_dev_run
 run egot2x.cli.run_lta --task long_term_anticipation_seq --synthetic --fast_dev_run
