@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 T = 30          # frames per clip (a mid bucket)
-BATCH = 128  # int8 path: 559 clips/s at 128 vs 481 at 64 on v5e
+BATCH = 160  # sweep: 652 @128, 663 @160, 649 @192 (tools/exp_batch_sweep.py)
 IMG = 224
 SR = 16000
 

@@ -208,10 +208,32 @@ def main():
                              num_workers=0, prefetch=2)
     # warm one epoch (page-stable), then time several epochs
     outs = []
+    mb_per_batch = 0.0
     for batch in mem_loader:
         args = tuple(jax.device_put(jnp.asarray(batch[k]), dev) for k in keys)
+        mb_per_batch = sum(a.nbytes for a in args) / 1e6
         outs.append(fwd(variables, *args))
     _ = [np.asarray(o) for o in outs]
+
+    # transfer-only ceiling: collate + device_put with NO device compute.
+    # On this box host->device rides a network tunnel (~tens of MB/s);
+    # production v5e hosts have PCIe. e2e efficiency must be judged
+    # against min(transfer, device), or the link masquerades as a
+    # pipeline defect.
+    staged_all = []
+    t0 = time.perf_counter()
+    n_batches = 0
+    for _ in range(2):
+        for batch in mem_loader:
+            args = tuple(jax.device_put(jnp.asarray(batch[k]), dev)
+                         for k in keys)
+            staged_all.append(args[0])
+            n_batches += 1
+    _ = [np.asarray(a[0, 0, 0, 0]) for a in staged_all]
+    tr_dt = time.perf_counter() - t0
+    tr_rate = n_batches * BATCH / tr_dt
+    tr_mbps = n_batches * mb_per_batch / tr_dt
+    staged_all = None
     n_epochs = 4
     outs = []
     n_batches = 0
@@ -230,7 +252,10 @@ def main():
         "value": round(mem_rate, 2),
         "unit": "clips/s/chip",
         "device_only": round(dev_rate, 2),
-        "pipeline_efficiency": round(mem_rate / max(dev_rate, 1e-9), 3),
+        "transfer_only": round(tr_rate, 2),
+        "transfer_mb_per_sec": round(tr_mbps, 1),
+        "pipeline_efficiency": round(
+            mem_rate / max(min(dev_rate, tr_rate), 1e-9), 3),
         "host_cores": os.cpu_count(),
     }))
 
