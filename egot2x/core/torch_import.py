@@ -500,6 +500,38 @@ def ts_pnr_rules(num_layers: int = 1):
     return rules
 
 
+def egot2g_2task_rules(num_layers: int = 3):
+    """Reference ``TaskTranslationPromptTransformer2Task`` state_dict
+    (HOI/models/multitask/video_model_builder_2task.py:51-166, the
+    task12 EgoT2-g model) → egot2x TaskTranslationPromptTransformer2Task
+    tree: both frozen ResNet3D backbones, the two 8192→D projections,
+    and the prompt core (task_embed, shared encode-LN, vocab embedding,
+    torch encoder+decoder stacks, vocab fc). The sinusoidal
+    ``pos_embed.pe`` buffer has no parameters on either side."""
+    rules = []
+    rules += resnet3d_rules("pnr_model", ["pnr_model", "trunk"])
+    rules += _linear_rule("pnr_model.Keyframe_localisation_head.projection",
+                          ["pnr_model", "head", "projection"])
+    rules += resnet3d_rules("oscc_model", ["oscc_model", "trunk"])
+    rules += _linear_rule("oscc_model.State_detection_head.projection",
+                          ["oscc_model", "head", "projection"])
+    for proj in ("proj_pnr", "proj_oscc"):
+        rules += _linear_rule(proj, [proj])
+    rules += [
+        ("task_embed", ("params", ["core", "task_embed"]), t_id),
+        ("embedding.weight",
+         ("params", ["core", "embedding", "embedding"]), t_id),
+        ("ln.weight", ("params", ["core", "ln", "scale"]), t_id),
+        ("ln.bias", ("params", ["core", "ln", "bias"]), t_id),
+    ]
+    rules += _linear_rule("fc", ["core", "fc"])
+    rules += torch_encoder_rules("transformer_encoder",
+                                 ["core", "transformer_encoder"], num_layers)
+    rules += torch_decoder_rules("transformer_decoder",
+                                 ["core", "transformer_decoder"], num_layers)
+    return rules
+
+
 # ---- caffe2 / partial-match loaders -------------------------------------
 
 _C2_PAIRS = [
@@ -605,6 +637,7 @@ FAMILIES: Dict[str, Callable[[], list]] = {
     "pnr_keyframe": pnr_keyframe_rules,
     "oscc": oscc_rules,
     "ts_pnr": ts_pnr_rules,
+    "egot2g_2task": egot2g_2task_rules,
 }
 
 
