@@ -123,8 +123,8 @@ def main():
         "vs_baseline": round(clips_per_sec / 1000.0, 3),
         "v4_8_aggregate_clips_per_sec": round(clips_per_sec * 8, 1),
         "v4_8_vs_5x_north_star": round(clips_per_sec * 8 / 5000.0, 3),
-        "config": "bf16 + int8 static-PTQ conv trunks (int8-before-pool), "
-                  f"packed stem, batch {BATCH}",
+        "config": "bf16 + int8 static-PTQ conv trunks (int8-before-pool, "
+                  f"block-chained int8 activations), packed stem, batch {BATCH}",
     }))
 
 

@@ -49,10 +49,15 @@ class BasicBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  calibrate: bool = False,
-                 in_scale: jax.Array = None) -> jax.Array:
+                 in_scale: jax.Array = None,
+                 quant_out: bool = False):
         """``in_scale``: scale of an ALREADY-int8 ``x`` (quantized
-        upstream, before the stem maxpool); the first conv consumes it
-        directly and the residual dequantizes in the add epilogue."""
+        upstream); the convs consume it directly and the residual
+        dequantizes in the add epilogue. ``quant_out``: emit the block
+        output as int8 with this block's calibrated ``out_act_max`` —
+        returns ``(int8, scale)`` so stage blocks chain int8 HBM
+        traffic end to end (measured 31.8 → 24.1 ms for the two layer1
+        blocks at b128, tools/exp_requant_chain.py)."""
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
@@ -74,7 +79,20 @@ class BasicBlock2D(nn.Module):
             # dequant fuses into the residual-add epilogue; reads the
             # int8 x (half the bytes of the float it replaced)
             identity = (x.astype(jnp.float32) * in_scale).astype(self.dtype)
-        return nn.relu(y + identity)
+        out = nn.relu(y + identity)
+        if self.quant and quant_out:
+            from egot2x.nn.quant import quantize_static
+
+            out_max = self.variable("quant", "out_act_max",
+                                    lambda: jnp.zeros((), jnp.float32))
+            if calibrate or self.is_initializing():
+                if not self.is_initializing():
+                    out_max.value = jnp.maximum(
+                        out_max.value,
+                        jnp.max(jnp.abs(out)).astype(jnp.float32))
+                return out, None
+            return quantize_static(out, out_max.value)
+        return out, None
 
 
 def _s2d_stem_conv(x: jax.Array, kernel: jax.Array, dtype) -> jax.Array:
@@ -180,15 +198,20 @@ class ResNet2D(nn.Module):
                 y = max_pool_int8(y, (3, 3), (2, 2), [(1, 1), (1, 1)])
         else:
             y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        n_stages = len(self.stage_sizes)
         for stage, blocks in enumerate(self.stage_sizes):
             filters = self.width * (2 ** stage)
             for b in range(blocks):
                 stride = 2 if stage > 0 and b == 0 else 1
-                y = BasicBlock2D(filters, stride, quant=self.quant,
-                                 dtype=self.dtype,
-                                 name=f"layer{stage + 1}_{b}")(
-                    y, train=train, calibrate=calibrate, in_scale=in_scale)
-                in_scale = None  # only the first block sees int8 input
+                # chain int8 between blocks: every block consumes the
+                # previous block's int8 output; only the last block
+                # (feeding the float global-avg-pool head) emits bf16
+                last = stage == n_stages - 1 and b == blocks - 1
+                y, in_scale = BasicBlock2D(filters, stride, quant=self.quant,
+                                           dtype=self.dtype,
+                                           name=f"layer{stage + 1}_{b}")(
+                    y, train=train, calibrate=calibrate, in_scale=in_scale,
+                    quant_out=self.quant and not last)
         y = jnp.mean(y, axis=(1, 2))  # global average pool → (B, 512)
         if features_only:
             return y
@@ -224,8 +247,8 @@ class ResNetCAM(nn.Module):
             filters = 64 * (2 ** stage)
             for b in range(blocks):
                 stride = 2 if stage > 0 and b == 0 else 1
-                y = BasicBlock2D(filters, stride, dtype=self.dtype,
-                                 name=f"layer{stage + 1}_{b}")(y, train=train)
+                y, _ = BasicBlock2D(filters, stride, dtype=self.dtype,
+                                    name=f"layer{stage + 1}_{b}")(y, train=train)
         if return_feature_map:
             return y  # (B, H/32, W/32, 512) for CAM
         y = jnp.mean(y, axis=(1, 2))

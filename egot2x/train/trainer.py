@@ -115,6 +115,7 @@ class Trainer:
         if mesh is None:
             mp = int(model_parallel) if not isinstance(model_parallel, bool) \
                 else (2 if model_parallel else 1)
+            mp = max(mp, 1)  # CLI "off" is the int 0, not False
             n = len(jax.devices())
             if mp > 1 and n % mp != 0:
                 logger.warning(f"model_parallel={mp} does not divide "

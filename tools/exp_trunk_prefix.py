@@ -65,9 +65,9 @@ def main():
                 filters = 64 * (2 ** stage)
                 for b in range(blocks):
                     stride = 2 if stage > 0 and b == 0 else 1
-                    y = BasicBlock2D(filters, stride, quant=self.quant,
-                                     dtype=dt,
-                                     name=f"layer{stage + 1}_{b}")(
+                    y, _ = BasicBlock2D(filters, stride, quant=self.quant,
+                                        dtype=dt,
+                                        name=f"layer{stage + 1}_{b}")(
                         y, train=False, calibrate=calibrate)
             if self.upto < 5:
                 return y
