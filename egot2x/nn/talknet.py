@@ -51,21 +51,27 @@ class AVSRResNetLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  calibrate: bool = False,
-                 in_scale: jax.Array = None) -> jax.Array:
+                 in_scale: jax.Array = None,
+                 quant_out: bool = False):
+        """``in_scale``: scale of an ALREADY-int8 ``x``. ``quant_out``:
+        emit the layer output as int8 with a calibrated max and return
+        ``(int8, scale)`` so the four AVSR layers chain int8 HBM traffic
+        (the inter-layer maps are (B·T, 28, 28, C) — hundreds of MB at
+        the bench batch); mirrors nn/resnet2d.py block chaining."""
         if self.quant:
             from egot2x.nn.quant import QuantConv
 
-            def conv(f, s, name):
-                qc = QuantConv(f, (3, 3), strides=(s, s),
-                               padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                               name=name)
+            def conv(f, s, name, k=(3, 3)):
+                qc = QuantConv(f, k, strides=(s, s),
+                               padding=[(k[0] // 2,) * 2, (k[1] // 2,) * 2],
+                               dtype=self.dtype, name=name)
                 return lambda t, scale=None: qc(t, calibrate=calibrate,
                                                 in_scale=scale)
         else:
-            def conv(f, s, name):
-                c = nn.Conv(f, (3, 3), strides=(s, s),
-                            padding=[(1, 1), (1, 1)], use_bias=False,
-                            dtype=self.dtype, name=name)
+            def conv(f, s, name, k=(3, 3)):
+                c = nn.Conv(f, k, strides=(s, s),
+                            padding=[(k[0] // 2,) * 2, (k[1] // 2,) * 2],
+                            use_bias=False, dtype=self.dtype, name=name)
                 return lambda t, scale=None: c(t)
         y = nn.relu(_bn(train, self.dtype, "bn1a")(
             conv(self.filters, self.stride, "conv1a")(x, in_scale)))
@@ -76,15 +82,30 @@ class AVSRResNetLayer(nn.Module):
             residual = ((x.astype(jnp.float32) * in_scale).astype(self.dtype)
                         if x.dtype == jnp.int8 else x)
         else:
-            residual = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype, name="downsample")(x)
+            # QuantConv under quant so a chained int8 x feeds the 1x1
+            # projection directly (param layout identical to nn.Conv)
+            residual = conv(self.filters, self.stride, "downsample",
+                            k=(1, 1))(x, in_scale)
         y = y + residual
         intermediate = y
         y = nn.relu(_bn(train, self.dtype, "outbna")(y))
         z = nn.relu(_bn(train, self.dtype, "bn1b")(conv(self.filters, 1, "conv1b")(y)))
         z = conv(self.filters, 1, "conv2b")(z)
         z = z + intermediate
-        return nn.relu(_bn(train, self.dtype, "outbnb")(z))
+        out = nn.relu(_bn(train, self.dtype, "outbnb")(z))
+        if self.quant and quant_out:
+            from egot2x.nn.quant import quantize_static
+
+            out_max = self.variable("quant", "out_act_max",
+                                    lambda: jnp.zeros((), jnp.float32))
+            if calibrate or self.is_initializing():
+                if not self.is_initializing():
+                    out_max.value = jnp.maximum(
+                        out_max.value,
+                        jnp.max(jnp.abs(out)).astype(jnp.float32))
+                return out, None
+            return quantize_static(out, out_max.value)
+        return out, None
 
 
 class _Stem3DConv(nn.Module):
@@ -201,11 +222,15 @@ class VisualFrontend(nn.Module):
                 elif not self.is_initializing():
                     y, in_scale = quantize_static(y, stem_max.value)
             y = _packed_phase_pool(y)           # (BT, 28, 28, 64)
-        for i, (f, s) in enumerate([(64, 1), (128, 2), (256, 2), (512, 2)]):
-            y = AVSRResNetLayer(f, s, quant=self.quant, dtype=self.dtype,
-                                name=f"layer{i + 1}")(
-                y, train=train, calibrate=calibrate, in_scale=in_scale)
-            in_scale = None  # only layer1 sees the int8 stem output
+        layers = [(64, 1), (128, 2), (256, 2), (512, 2)]
+        for i, (f, s) in enumerate(layers):
+            # chain int8 between layers; the last layer feeds the float
+            # global-mean head, so it emits bf16
+            y, in_scale = AVSRResNetLayer(f, s, quant=self.quant,
+                                          dtype=self.dtype,
+                                          name=f"layer{i + 1}")(
+                y, train=train, calibrate=calibrate, in_scale=in_scale,
+                quant_out=self.quant and i < len(layers) - 1)
         # AvgPool2d(4,4) stride 1 on a 4x4 map == global mean
         y = jnp.mean(y, axis=(1, 2))
         return y.reshape(b, t, 512)

@@ -1,7 +1,9 @@
 """Round-3: batch sweep at the int8-before-pool operating point.
 
 b256 OOM'd in round 2; the int8 stem pools cut peak activation memory,
-so probe 128/160/192. Reuses bench.py's cached calibrated variables.
+so probe 128/160/192 (652/663/649). After block chaining: 699/679/693
+at 160/192/256 — b256 fits now but 160 stays the operating point.
+Reuses bench.py's cached calibrated variables.
 
 Run: python tools/exp_batch_sweep.py   (TPU, idle host)
 """
@@ -34,7 +36,7 @@ def main():
     assert_calibrated(variables)
     rng = np.random.default_rng(0)
 
-    for batch in (128, 160, 192):
+    for batch in (160, 192, 256):
         inputs = (
             jnp.asarray(rng.standard_normal((batch, T, IMG, IMG, 3)),
                         dtype=jnp.float32),
