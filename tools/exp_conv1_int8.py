@@ -20,7 +20,6 @@ conv on a small f32 batch first.
 Run: python tools/exp_conv1_int8.py   (on the TPU, idle host)
 """
 
-import time
 
 import numpy as np
 
@@ -29,19 +28,7 @@ T = 30
 FRAMES = B * T
 
 
-def bench(name, fn, args, n=10):
-    import jax
-
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = jfn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    dt = (time.perf_counter() - t0) / n
-    print(f"| {name} | {dt*1e3:8.2f} |", flush=True)
-    return dt
+from _exp_util import bench  # noqa: E402
 
 
 def pack_s2d4_kernel(k):

@@ -17,7 +17,6 @@ may cost another round trip if unfused). Variants:
 Run: python tools/exp_stem_fold.py   (TPU, idle host)
 """
 
-import time
 
 import numpy as np
 
@@ -25,19 +24,7 @@ B, T = 128, 30
 FRAMES = B * T
 
 
-def bench(name, fn, args, n=8):
-    import jax
-
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = jfn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    dt = (time.perf_counter() - t0) / n
-    print(f"| {name} | {dt*1e3:8.2f} |", flush=True)
-    return dt
+from _exp_util import bench  # noqa: E402
 
 
 def main():
