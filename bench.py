@@ -54,29 +54,44 @@ def main():
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache", "variables_int8")
+    # init at BATCH 1: flax init runs the forward, and parameters are
+    # batch-independent — a b128 CPU init materializes tens of GB and
+    # takes >30 min on this 1-core host, b1 takes seconds. Always done:
+    # the fresh tree is the structural reference that invalidates a
+    # stale cache (a cache from before a new quant variable was added
+    # restores fine and passes the all-scales-positive check, then the
+    # forward dies with ScopeVariableNotFoundError).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cpu_inputs = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                np.zeros((1,) + x.shape[1:], x.dtype), cpu), inputs)
+        fresh = model.init(jax.random.key(0), *cpu_inputs, train=False)
+    def signature(tree):
+        # normalize container types (FrozenDict vs the pure dicts the
+        # checkpoint restores) before comparing structure + leaf shapes
+        import flax.core
+
+        leaves, treedef = jax.tree_util.tree_flatten(
+            flax.core.unfreeze(dict(tree)))
+        return treedef, [np.shape(leaf) for leaf in leaves]
+
     variables = None
     if os.path.isdir(cache):
         try:
             from egot2x.core.checkpoint import restore_tree
 
-            variables = restore_tree(cache)
+            cached = restore_tree(cache)
+            if signature(cached) == signature(fresh):
+                variables = cached
         except Exception:
-            variables = None  # stale cache (model shapes changed): re-init
-    # ALL scales must be calibrated — a partially-calibrated tree (stale
-    # cache, new conv added) would silently saturate those layers' int8
-    # activations (s_act=1e-6/127)
+            variables = None  # unreadable cache: re-init
+    # ALL scales must be calibrated — a partially-calibrated tree would
+    # silently saturate those layers' int8 activations (s_act=1e-6/127)
     calibrated = variables is not None and "quant" in variables and all(
         float(s) > 0 for s in jax.tree_util.tree_leaves(variables["quant"]))
     if variables is None:
-        # init at BATCH 1: flax init runs the forward, and parameters
-        # are batch-independent — a b128 CPU init materializes tens of
-        # GB and takes >30 min on this 1-core host, b1 takes seconds
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            cpu_inputs = jax.tree_util.tree_map(
-                lambda x: jax.device_put(
-                    np.zeros((1,) + x.shape[1:], x.dtype), cpu), inputs)
-            variables = model.init(jax.random.key(0), *cpu_inputs, train=False)
+        variables = fresh
     variables = jax.device_put(dict(variables), jax.devices()[0])
     inputs = jax.device_put(inputs, jax.devices()[0])
     if not calibrated:
