@@ -217,8 +217,7 @@ class Unified3TaskTranslation(Task):
             if task in ("lam", "ttm"):
                 scores = np.exp(logits[:, 1]) / np.exp(logits).sum(axis=1)
                 for i, s in enumerate(scores):
-                    ctx["map"][task].append((f"{task}{len(ctx['map'][task])}",
-                                             int(label01[i]), float(s)))
+                    ctx["map"][task].append((int(label01[i]), float(s)))
             ctx["loss"].append(float(np.asarray(outputs[f"{task}_loss"])))
 
     def finalize_validation(self, ctx) -> Dict[str, float]:
@@ -229,8 +228,15 @@ class Unified3TaskTranslation(Task):
         for task in ("lam", "ttm"):
             rows = ctx["map"][task]
             if rows:
-                uids, labels, scores = zip(*rows)
-                m, _ = run_evaluation(list(uids), np.asarray(labels),
+                # uids are assigned positionally AFTER the multi-host
+                # context merge (base.merge_contexts concatenates the
+                # per-process row lists): per-process synthetic uids
+                # would collide across processes and run_evaluation's
+                # uid-dedup would silently drop every process's rows
+                # but one. Every row is a distinct sample here.
+                labels, scores = zip(*rows)
+                uids = [f"{task}{i}" for i in range(len(rows))]
+                m, _ = run_evaluation(uids, np.asarray(labels),
                                       np.asarray(scores))
                 out[f"val_{task}_mAP"] = m
         return out

@@ -178,8 +178,7 @@ class Unified6TaskTranslation(Task):
         for f, pw, tname in inits:
             v = self.model.init(rng, f, pw, tgt, tname, train=False)
             variables = (dict(v) if variables is None else
-                         jax.tree_util.tree_map(
-                             lambda a: a, merge_trees(v, dict(variables))))
+                         merge_trees(v, dict(variables)))
         trainable, frozen = split_params(
             variables["params"], lambda k: k in HOI_G_FROZEN_KEYS
             or k in ("action_model", "lta_backbone", "lta_aggregator"))

@@ -125,6 +125,39 @@ def test_ttm_segment_merge_across_processes(rng):
     assert all(v == (0, 19) for v in merged["span"].values())
 
 
+def test_hhi_multitask_map_across_processes(rng):
+    """The HHI multitask map rows carry NO uids (assigned positionally
+    at finalize): rows from every process must survive the merge —
+    per-process synthetic uids would collide and be dedup-dropped."""
+    from egot2x.tasks.multitask_hhi import Unified3TaskTranslation
+
+    task = object.__new__(Unified3TaskTranslation)
+    n = 48
+    rows = {t: [((i + hash(t)) % 2, float(rng.uniform(0, 1)))
+                for i in range(n)] for t in ("lam", "ttm")}
+
+    def fill(idx):
+        c = task.start_validation()
+        for t in ("lam", "ttm"):
+            c["map"][t].extend(rows[t][i] for i in idx)
+            c["correct"][t] += len(idx)
+            c["total"][t] += 2 * len(idx)
+        c["correct"]["asd"] += len(idx)
+        c["total"]["asd"] += 2 * len(idx)
+        c["loss"].extend([0.5] * len(idx))
+        return c
+
+    single = task.finalize_validation(task.merge_validation(
+        [fill(range(n))]))
+    parts = _split_batches(4, list(range(n)))
+    multi = task.finalize_validation(
+        task.merge_validation([fill(p) for p in parts]))
+    # every process's rows contribute: the mAP over the union of rows
+    # (order differs, but mAP is order-invariant given distinct uids)
+    assert single == multi
+    assert multi["val_lam_acc"] == 0.5
+
+
 def test_default_task_merge_is_identity_single_process():
     t = object.__new__(Task)
     ctx = {"x": 1}
