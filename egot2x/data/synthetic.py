@@ -82,12 +82,25 @@ def make_ttm_fixture(
     img_size: int = 64,
     sample_rate: int = 16000,
     seed: int = 0,
+    seg_lens=None,
+    label_signal: float = 0.0,
 ) -> str:
     """Miniature TTM tree: imgs/, json/, gt/, wave/, train.list, val.list.
 
     GT segments use the reference convention: positive segments carry a
-    'tags' key (HHI/dataset/ttm/data_loader.py:133-147). Lengths are
-    drawn to span several buckets incl. one >150-frame split case.
+    'tags' key (HHI/dataset/ttm/data_loader.py:133-147). Default lengths
+    are drawn to span several buckets incl. one >150-frame split case;
+    pass ``seg_lens`` (e.g. ``[25] * 8``) to put every segment in ONE
+    bucket so a single loader batch holds them all.
+
+    With the default pure-noise frames the labels are UNLEARNABLE: global
+    average pooling over iid pixels concentrates every sample's features
+    at the same point, so any model converges to the ln(2) prior — fine
+    for shape/step tests, useless when a test needs real class
+    separation. ``label_signal=s`` adds a per-segment brightness offset
+    (+s for positive segments, −s for negative, noise amplitude reduced)
+    that survives pooling, making train AND val genuinely separable (the
+    int8 accuracy gate trains on this and gates val mAP float-vs-int8).
     """
     from scipy.io import wavfile
 
@@ -104,11 +117,24 @@ def make_ttm_fixture(
         os.makedirs(os.path.join(root, "wave"), exist_ok=True)
         # segment lengths spanning buckets; one long segment to exercise
         # the >150-frame chunking path
-        seg_lens = [18, 40, 70, 100, 160, 25][:n_segments]
-        total_frames = sum(seg_lens) + 10
+        lens = (list(seg_lens) if seg_lens is not None
+                else [18, 40, 70, 100, 160, 25][:n_segments])
+        total_frames = sum(lens) + 10
+        # frame -> signed brightness offset of its segment (positive
+        # segments are the even-indexed ones, mirroring the gt below)
+        offset = np.zeros(total_frames + 2, np.float32)
+        if label_signal:
+            pos = 1
+            for s, ln in enumerate(lens):
+                sign = 1.0 if s % 2 == 0 else -1.0
+                offset[pos:pos + ln] = sign * label_signal
+                pos += ln
         h = w = img_size * 2
         for i in range(1, total_frames + 1):
-            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            img = rng.integers(0, 255, (h, w, 3))
+            if label_signal:
+                img = img * 0.3 + 128.0 + offset[i]
+            img = np.clip(img, 0, 255).astype(np.uint8)
             cv2.imwrite(os.path.join(img_dir, f"img_{i:05d}.jpg"), img)
         track = [
             {
@@ -123,7 +149,7 @@ def make_ttm_fixture(
             json.dump(track, f)
         gts = []
         start = 1
-        for s, ln in enumerate(seg_lens):
+        for s, ln in enumerate(lens):
             seg = {"label": "1", "start_frame": start, "end_frame": start + ln - 1}
             if s % 2 == 0:
                 seg["tags"] = ["person_x"]
