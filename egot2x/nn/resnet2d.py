@@ -26,6 +26,33 @@ from flax import linen as nn
 
 Dtype = Any
 
+# ImageNet statistics, mirroring the host-side ToTensor+Normalize
+# (egot2x/data/lam.py normalize_frames; HHI/utils/lam/utils.py:16-21)
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_u8_frames(x: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """In-jit ToTensor + ImageNet Normalize for integer RGB frames.
+
+    No-op on float input (already host-normalized). Shipping uint8 to
+    the device and normalizing in-jit reads the input from HBM at 1/4
+    the bytes (and cuts host→device transfer 4×); measured 33.5 →
+    31.4 ms on the b128 conv1 stem (tools/exp_conv1_u8.py formulation
+    B — int8 conv1 on raw pixels, formulation C, LOSES: C_in=3 starves
+    the int8 MXU). Computes the exact host expression in f32, then
+    casts to ``dtype``: when the same video feeds two trunks (the
+    flagship translator), XLA CSEs the twin normalizes into ONE
+    materialized tensor — emitting it bf16 halves that write+reread
+    (an f32 materialization measured 701 → 678 clips/s; the stem conv
+    reads bf16 anyway).
+    """
+    if not jnp.issubdtype(x.dtype, jnp.integer):
+        return x
+    mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+    return ((x.astype(jnp.float32) / 255.0 - mean) / std).astype(dtype)
+
 
 class BasicBlock2D(nn.Module):
     filters: int
@@ -168,6 +195,7 @@ class ResNet2D(nn.Module):
         # FLOAT even under quant: with C_in=3 the contraction depth (147)
         # starves the int8 MXU and measured int8 is not faster there —
         # the win comes from the 64-512 channel stage convs.
+        x = normalize_u8_frames(x, self.dtype)  # no-op on float input
         y = _StemConv(self.width, self.fused_stem, dtype=self.dtype,
                       name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,

@@ -183,9 +183,13 @@ class VisualFrontend(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False,
                  calibrate: bool = False) -> jax.Array:
         b, t, h, w = x.shape
-        # TalkNet input normalization (talkNetModel.py:41)
+        # TalkNet input normalization (talkNetModel.py:41), computed in
+        # the compute dtype so a uint8 feed never materializes an f32
+        # intermediate (0..255 is exact in bf16; downstream is bf16
+        # anyway)
+        x = x.astype(self.dtype)
         x = (x / 255.0 - 0.4161) / 0.1688
-        x = x[..., None].astype(self.dtype)  # (B, T, H, W, 1) NTHWC
+        x = x[..., None]  # (B, T, H, W, 1) NTHWC
         bt = b * t
         stem = _Stem3DConv(64, dtype=self.dtype, name="frontend3d_conv")
         bn = _bn(train, self.dtype, "frontend3d_bn")

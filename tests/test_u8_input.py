@@ -1,0 +1,84 @@
+"""uint8 device-feed parity: in-jit normalization == host normalization.
+
+The deployment pipeline ships RAW uint8 frames to the device
+(tools/bench_e2e.py) and the models normalize in-jit —
+nn/resnet2d.py normalize_u8_frames for ImageNet RGB trunks, TalkNet's
+native ``(x/255 − 0.4161)/0.1688`` for the grayscale visual frontend —
+so the input rides HBM and the host link at 1/4 the bytes. These tests
+pin the contract: a uint8 feed must produce the same outputs as the
+host-normalized float feed (exactly the same f32 expression, so the
+tolerance is float-rounding only), and float feeds must be untouched.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egot2x.data.lam import normalize_frames
+from egot2x.nn.resnet2d import ResNet2D, normalize_u8_frames
+from egot2x.nn.talknet import VisualFrontend
+
+
+def test_normalize_u8_matches_host():
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 3, 8, 8, 3), dtype=np.uint8)
+    got = np.asarray(normalize_u8_frames(jnp.asarray(u8)))
+    want = normalize_frames(u8)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_normalize_u8_noop_on_float():
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 4, 4, 3)),
+                    jnp.float32)
+    assert normalize_u8_frames(x) is x
+
+
+def test_resnet2d_u8_feed_matches_float_feed():
+    model = ResNet2D(stage_sizes=(1, 1), num_classes=4, fc2_features=8,
+                     width=8)
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+    variables = model.init(jax.random.key(0), jnp.asarray(u8), train=False)
+    out_u8 = np.asarray(model.apply(variables, jnp.asarray(u8), train=False))
+    out_f = np.asarray(model.apply(
+        variables, jnp.asarray(normalize_frames(u8)), train=False))
+    np.testing.assert_allclose(out_u8, out_f, rtol=0, atol=1e-5)
+
+
+def test_talknet_visual_u8_feed_matches_float_feed():
+    model = VisualFrontend()
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (1, 2, 112, 112), dtype=np.uint8)
+    f32 = u8.astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(f32), train=False)
+    out_u8 = np.asarray(model.apply(variables, jnp.asarray(u8), train=False))
+    out_f = np.asarray(model.apply(variables, jnp.asarray(f32), train=False))
+    np.testing.assert_allclose(out_u8, out_f, rtol=0, atol=1e-5)
+
+
+def test_flagship_translator_u8_feed_matches_float_feed():
+    """Full flagship: uint8 video + video_asd feed == host-normalized feed.
+
+    Covers the translator-level normalize hoist (egot2s_hhi.py: the RGB
+    stream fans out to the LAM and TTM trunks and is normalized ONCE)
+    plus TalkNet's in-jit grayscale normalize, end to end.
+    """
+    from egot2x.core.registry import build_model
+    import egot2x.translate.egot2s_hhi  # noqa: F401  (registers models)
+
+    t = 15
+    model = build_model("TaskFusionMFTransformer3Task", hidden_dim=32,
+                        num_layers=1, num_heads=4)
+    rng = np.random.default_rng(4)
+    rgb_u8 = rng.integers(0, 256, (2, t, 32, 32, 3), dtype=np.uint8)
+    asd_u8 = rng.integers(0, 256, (2, t, 112, 112), dtype=np.uint8)
+    audio = jnp.asarray(rng.standard_normal((2, t * 16000 // 30)),
+                        jnp.float32)
+    mfcc = jnp.asarray(rng.standard_normal((2, 4 * t, 13)), jnp.float32)
+    f_inputs = (jnp.asarray(normalize_frames(rgb_u8)),
+                jnp.asarray(asd_u8, jnp.float32), audio, mfcc)
+    u_inputs = (jnp.asarray(rgb_u8), jnp.asarray(asd_u8), audio, mfcc)
+    variables = model.init(jax.random.key(0), *f_inputs, train=False)
+    out_f = np.asarray(model.apply(variables, *f_inputs, train=False))
+    out_u = np.asarray(model.apply(variables, *u_inputs, train=False))
+    np.testing.assert_allclose(out_u, out_f, rtol=0, atol=2e-4)

@@ -136,21 +136,17 @@ def main():
         variables = jax.device_put(dict(variables), dev)
         from egot2x.nn.quant import calibrate_variables
 
-        cal_video = (staged[0].astype(jnp.float32) / 255.0
-                     - np.asarray([0.485, 0.456, 0.406], np.float32)) \
-            / np.asarray([0.229, 0.224, 0.225], np.float32)
-        variables = calibrate_variables(model, variables, cal_video,
-                                        *staged[1:], train=False)
+        variables = calibrate_variables(model, variables, *staged,
+                                        train=False)
     from egot2x.nn.quant import assert_calibrated
 
     assert_calibrated(variables)
 
-    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
-
     def fwd_(v, video_u8, video_asd, audio, audio_asd):
-        video = (video_u8.astype(jnp.float32) / 255.0 - mean) / std
-        return model.apply(v, video, video_asd, audio, audio_asd,
+        # raw uint8 RGB goes straight in — the translator normalizes
+        # in-jit, once, before the stream fans out to both trunks
+        # (egot2x/translate/egot2s_hhi.py; tests/test_u8_input.py)
+        return model.apply(v, video_u8, video_asd, audio, audio_asd,
                            train=False)
 
     fwd = jax.jit(fwd_)
