@@ -82,3 +82,39 @@ def test_flagship_translator_u8_feed_matches_float_feed():
     out_f = np.asarray(model.apply(variables, *f_inputs, train=False))
     out_u = np.asarray(model.apply(variables, *u_inputs, train=False))
     np.testing.assert_allclose(out_u, out_f, rtol=0, atol=2e-4)
+
+
+def test_flagship_quant_u8_feed_matches_float_feed():
+    """The benched config exactly: quant=True (int8 static PTQ) + uint8
+    video feed. Same calibrated variables, u8 vs host-normalized float
+    feed — the quantizer consumes identical normalized activations, so
+    logits must agree to float rounding.
+    """
+    import jax.numpy as jnp2
+    from egot2x.core.registry import build_model
+    from egot2x.nn.quant import calibrate_variables
+    import egot2x.translate.egot2s_hhi  # noqa: F401
+
+    t = 15
+    model = build_model("TaskFusionMFTransformer3Task", hidden_dim=32,
+                        num_layers=1, num_heads=4, quant=True,
+                        dtype=jnp2.bfloat16)
+    rng = np.random.default_rng(5)
+    rgb_u8 = rng.integers(0, 256, (2, t, 32, 32, 3), dtype=np.uint8)
+    asd_u8 = rng.integers(0, 256, (2, t, 112, 112), dtype=np.uint8)
+    audio = jnp.asarray(rng.standard_normal((2, t * 16000 // 30)),
+                        jnp.float32)
+    mfcc = jnp.asarray(rng.standard_normal((2, 4 * t, 13)), jnp.float32)
+    f_inputs = (jnp.asarray(normalize_frames(rgb_u8)),
+                jnp.asarray(asd_u8, jnp.float32), audio, mfcc)
+    u_inputs = (jnp.asarray(rgb_u8), jnp.asarray(asd_u8), audio, mfcc)
+    variables = model.init(jax.random.key(0), *f_inputs, train=False)
+    variables = calibrate_variables(model, variables, *f_inputs,
+                                    train=False)
+    out_f = np.asarray(model.apply(variables, *f_inputs, train=False),
+                       np.float32)
+    out_u = np.asarray(model.apply(variables, *u_inputs, train=False),
+                       np.float32)
+    # bf16 compute: identical quantized trunks, rounding-only delta
+    np.testing.assert_allclose(out_u, out_f, rtol=0, atol=5e-2)
+    assert np.isfinite(out_u).all()
