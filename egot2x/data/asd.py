@@ -177,7 +177,10 @@ class AsdTrialDataset(BucketedDataset):
             bbox = {b["frame"]: b for b in json.load(f)}
         frames = [bbox[i] for i in range(trial["start"], trial["start"] + trial["num_frames"])
                   if i in bbox]
-        out = np.zeros((n_frames, CROP_SIZE, CROP_SIZE), dtype=np.float32)
+        # uint8: every aug op (flip/crop/resize/warpAffine) runs on the
+        # native cv2 u8 crops, so values are already integers — ship raw
+        # bytes (4x less host->device) and let TalkNet normalize in-jit
+        out = np.zeros((n_frames, CROP_SIZE, CROP_SIZE), dtype=np.uint8)
         if not frames:
             return out
         dets = smooth_dets(frames)

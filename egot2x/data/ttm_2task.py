@@ -38,7 +38,9 @@ class TtmTwoTaskDataset(TtmSegmentDataset):
                 x1, y1, x2, y2 = crops[key]
                 track.append({"frame": i, "x": x1, "y": y1,
                               "width": x2 - x1, "height": y2 - y1})
-        out = np.zeros((n_frames, 112, 112), dtype=np.float32)
+        # uint8: crop_face_square output is native cv2 gray — ship raw
+        # bytes (4x less host->device) and let TalkNet normalize in-jit
+        out = np.zeros((n_frames, 112, 112), dtype=np.uint8)
         if not track:
             return out
         dets = smooth_dets(track)

@@ -83,7 +83,11 @@ class E2EClipDataset:
         # host->device transfer than f32 (rides a network tunnel here)
         u8 = self.native.decode_crop_resize(info["frames"], self.full, IMG)
         u8_asd = self.native.decode_crop_resize(info["frames"], self.full, 112)
-        video_asd = u8_asd.mean(axis=-1, dtype=np.float32)  # gray, [0,255]
+        # gray u8: the real ASD loader's gray is native cv2 u8
+        # (data/asd.py crop_face_square); this synthetic path
+        # approximates with a rounded channel mean, same device format
+        video_asd = np.round(
+            u8_asd.mean(axis=-1, dtype=np.float32)).astype(np.uint8)
         wave = np.load(info["wave"])
         audio_asd = self.mfcc_np(wave.astype(np.float64), SR,
                                  num_frames=4 * T).astype(np.float32)
