@@ -41,9 +41,11 @@ def main():
                         num_layers=1, quant=True, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     # video streams ship as RAW uint8 (the pipeline's device format,
-    # tools/bench_e2e.py) and normalize in-jit: 1/4 the input HBM reads
-    # and host->device bytes (nn/resnet2d.py normalize_u8_frames;
-    # TalkNet's visual frontend normalizes in-jit natively)
+    # tools/bench_e2e.py): 1/4 the input HBM reads and host->device
+    # bytes. The stems FOLD the normalization affine into their conv
+    # weights (nn/resnet2d.py _StemConv, nn/talknet.py _Stem3DConv),
+    # so no normalized copy of the frames is ever materialized — the
+    # fanned-out RGB stream is read as uint8 by both trunks.
     import os as _os
     _feed = _os.environ.get("BENCH_FEED", "u8")  # u8 | f32 | rgb_f32 | asd_f32
     rgb_u8 = rng.integers(0, 256, (BATCH, T, IMG, IMG, 3))
@@ -156,8 +158,8 @@ def main():
         "v4_8_aggregate_clips_per_sec": round(clips_per_sec * 8, 1),
         "v4_8_vs_5x_north_star": round(clips_per_sec * 8 / 5000.0, 3),
         "config": "bf16 + int8 static-PTQ conv trunks (int8-before-pool, "
-                  "block-chained int8 activations), packed stem, uint8 "
-                  f"in-jit-normalized video feed, batch {BATCH}",
+                  "block-chained int8 activations), packed stem, raw-uint8 "
+                  f"video feed with norm-folded stem convs, batch {BATCH}",
     }))
 
 

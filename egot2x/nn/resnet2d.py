@@ -35,17 +35,16 @@ _IMAGENET_STD = (0.229, 0.224, 0.225)
 def normalize_u8_frames(x: jax.Array, dtype=jnp.float32) -> jax.Array:
     """In-jit ToTensor + ImageNet Normalize for integer RGB frames.
 
-    No-op on float input (already host-normalized). Shipping uint8 to
-    the device and normalizing in-jit reads the input from HBM at 1/4
-    the bytes (and cuts host→device transfer 4×); measured 33.5 →
-    31.4 ms on the b128 conv1 stem (tools/exp_conv1_u8.py formulation
-    B — int8 conv1 on raw pixels, formulation C, LOSES: C_in=3 starves
-    the int8 MXU). Computes the exact host expression in f32, then
-    casts to ``dtype``: when the same video feeds two trunks (the
-    flagship translator), XLA CSEs the twin normalizes into ONE
-    materialized tensor — emitting it bf16 halves that write+reread
-    (an f32 materialization measured 701 → 678 clips/s; the stem conv
-    reads bf16 anyway).
+    No-op on float input (already host-normalized). This is the
+    reference expression (HHI/utils/lam/utils.py:16-21) and the parity
+    oracle for the uint8 feed (tests/test_u8_input.py). The MODEL path
+    no longer calls it: :class:`ResNet2D` folds the same affine into
+    its stem conv weights (``_StemConv(fold_norm=True)``), which is
+    exact and never materializes a normalized copy of the frames — an
+    explicit normalize materializes one (XLA:TPU does not fuse
+    elementwise producers into conv reads; an f32 materialization
+    measured 701 → 678 clips/s on the flagship bench, and even the
+    bf16 variant pays a full write + 2-trunk re-read of the frames).
     """
     if not jnp.issubdtype(x.dtype, jnp.integer):
         return x
@@ -151,10 +150,25 @@ def _s2d_stem_conv(x: jax.Array, kernel: jax.Array, dtype) -> jax.Array:
 class _StemConv(nn.Module):
     """7×7/2 stem conv with the same param layout as ``nn.Conv``
     (kernel under this module's scope), optionally running through the
-    space-to-depth transform."""
+    space-to-depth transform.
+
+    ``fold_norm``: consume RAW integer pixels by folding the
+    ToTensor+ImageNet-Normalize affine into the conv. Exact:
+    ``x_norm = x·a + b`` per channel (``a = 1/(255σ)``, ``b = −μ/σ``)
+    and conv is linear, so ``conv(x_norm, W) = conv(x, W·a) + M`` where
+    ``M = conv(b·1_image, W)`` — a (1, H/2, W/2, width) constant map
+    whose borders carry the zero-padding correction (interior is the
+    constant ``b·ΣW``; border windows overlap the padding, where the
+    normalized input would be 0, not b). M is one batch-1 conv: free at
+    trace time when weights are jit constants (the bench), ~1/B of the
+    stem otherwise. The payoff is HBM/link traffic: no materialized
+    normalized tensor anywhere — the stem reads the uint8 frames
+    directly at 1/4 the bytes, even when the same video fans out to
+    two trunks (the flagship translator)."""
 
     width: int
     fused: bool
+    fold_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -162,11 +176,20 @@ class _StemConv(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, x.shape[-1], self.width), jnp.float32)
         if self.fused:
-            return _s2d_stem_conv(x, kernel, self.dtype)
-        return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(2, 2), padding=[(3, 3), (3, 3)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            conv = lambda v, k: _s2d_stem_conv(v, k, self.dtype)
+        else:
+            conv = lambda v, k: jax.lax.conv_general_dilated(
+                v.astype(self.dtype), k.astype(self.dtype),
+                window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.fold_norm:
+            mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+            k_eff = kernel / (255.0 * std)[None, None, :, None]
+            bias_img = jnp.broadcast_to(-mean / std,
+                                        (1,) + x.shape[1:3] + (x.shape[-1],))
+            return conv(x, k_eff) + conv(bias_img, kernel)
+        return conv(x, kernel)
 
 
 class ResNet2D(nn.Module):
@@ -194,10 +217,13 @@ class ResNet2D(nn.Module):
         # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool. The stem stays
         # FLOAT even under quant: with C_in=3 the contraction depth (147)
         # starves the int8 MXU and measured int8 is not faster there —
-        # the win comes from the 64-512 channel stage convs.
-        x = normalize_u8_frames(x, self.dtype)  # no-op on float input
-        y = _StemConv(self.width, self.fused_stem, dtype=self.dtype,
-                      name="conv1")(x)
+        # the win comes from the 64-512 channel stage convs. Integer
+        # (raw uint8) input takes the norm-folded stem: the
+        # ToTensor+Normalize affine rides the conv weights (exact, see
+        # _StemConv), so no normalized copy of the frames ever hits HBM.
+        y = _StemConv(self.width, self.fused_stem,
+                      fold_norm=jnp.issubdtype(x.dtype, jnp.integer),
+                      dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)

@@ -122,12 +122,8 @@ class _Stem3DConv(nn.Module):
     width: int = 64
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, packed: bool = False) -> jax.Array:
-        """x (B, T, H, W, 1). Unpacked: (B, T, H/2, W/2, 64).
-        Packed: (B, T, H/2, W/4, 128) with w-phases in channels."""
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (5, 7, 7, 1, self.width), jnp.float32)
+    def _run(self, x: jax.Array, kernel: jax.Array,
+             packed: bool) -> jax.Array:
         if not packed:
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype), (1, 2, 2),
@@ -151,6 +147,28 @@ class _Stem3DConv(nn.Module):
             [(2, 2), (0, 0), (0, 0)],
             dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
         return y[:, :, : h // 2]  # (B, T, H/2, W/4, 2F)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, packed: bool = False,
+                 fold_norm=None) -> jax.Array:
+        """x (B, T, H, W, 1). Unpacked: (B, T, H/2, W/2, 64).
+        Packed: (B, T, H/2, W/4, 128) with w-phases in channels.
+
+        ``fold_norm=(a, b)``: consume raw integer pixels by folding the
+        scalar normalization ``x·a + b`` into the conv (exact, conv is
+        linear): ``conv(x·a + b·1_img, K) = conv(x, K·a) + b·conv(1_img,
+        K)`` — the second term is a batch-1 constant map carrying the
+        zero-padding border correction (in both T and H/W). Raw uint8
+        then rides HBM at half the bf16 bytes with no normalized
+        intermediate."""
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (5, 7, 7, 1, self.width), jnp.float32)
+        if fold_norm is None:
+            return self._run(x, kernel, packed)
+        a, b = fold_norm
+        ones = jnp.ones((1,) + x.shape[1:], jnp.float32)
+        return self._run(x, kernel * a, packed) + b * self._run(
+            ones, kernel, packed)
 
 
 def _packed_phase_pool(y: jax.Array) -> jax.Array:
@@ -183,12 +201,18 @@ class VisualFrontend(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False,
                  calibrate: bool = False) -> jax.Array:
         b, t, h, w = x.shape
-        # TalkNet input normalization (talkNetModel.py:41), computed in
-        # the compute dtype so a uint8 feed never materializes an f32
-        # intermediate (0..255 is exact in bf16; downstream is bf16
-        # anyway)
-        x = x.astype(self.dtype)
-        x = (x / 255.0 - 0.4161) / 0.1688
+        # TalkNet input normalization (talkNetModel.py:41). Integer (raw
+        # uint8) input folds the scalar affine into the stem conv
+        # (_Stem3DConv fold_norm): the frames are read from HBM as uint8
+        # with NO normalized intermediate. Float input keeps the
+        # explicit normalize, computed in the compute dtype.
+        fold = None
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            fold = (1.0 / (255.0 * 0.1688), -0.4161 / 0.1688)
+            x = x.astype(self.dtype)
+        else:
+            x = x.astype(self.dtype)
+            x = (x / 255.0 - 0.4161) / 0.1688
         x = x[..., None]  # (B, T, H, W, 1) NTHWC
         bt = b * t
         stem = _Stem3DConv(64, dtype=self.dtype, name="frontend3d_conv")
@@ -200,7 +224,7 @@ class VisualFrontend(nn.Module):
         if train:
             # training keeps the px layout: BN batch stats must be per
             # real channel, not per (phase, channel) pair
-            y = stem(x, packed=False)
+            y = stem(x, packed=False, fold_norm=fold)
             y = nn.relu(bn(y))
             y = y.reshape(bt, *y.shape[2:])
             y = nn.max_pool(y, (3, 3), strides=(2, 2),
@@ -209,7 +233,7 @@ class VisualFrontend(nn.Module):
             # inference: packed stem; eval-BN is per-channel affine, so
             # it applies on the phase-packed layout via jnp.tile inside
             # flax BatchNorm broadcasting — run BN on a (…, 2, 64) view
-            y = stem(x, packed=True)            # (B, T, 56, 28, 128)
+            y = stem(x, packed=True, fold_norm=fold)  # (B, T, 56, 28, 128)
             yv = y.reshape(*y.shape[:-1], 2, 64)
             yv = nn.relu(bn(yv))
             y = yv.reshape(*y.shape)

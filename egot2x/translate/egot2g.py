@@ -37,7 +37,6 @@ from egot2x.models.ar_lta import SlowFastFeature, TransformerAggregator
 from egot2x.models.lam import LAMBackbone
 from egot2x.models.pnr import KeyframeLocalizationResNet, StateChangeClsResNet
 from egot2x.models.ttm import TTMBackbone
-from egot2x.nn.resnet2d import normalize_u8_frames
 from egot2x.nn.common import (
     PositionalEncoding,
     TransformerDecoder,
@@ -135,9 +134,9 @@ class TaskTranslationPromptTransformer(_HHIPromptBase):
 
     def encode(self, video, video_asd, audio, audio_asd, task: str,
                deterministic=True):
-        # uint8 feed: the RGB stream fans out to the LAM and TTM trunks —
-        # normalize ONCE here (no-op on float/host-normalized input)
-        video = normalize_u8_frames(video, self.dtype)
+        # uint8 feed: the LAM/TTM trunk stems fold the normalize into
+        # their conv weights (nn/resnet2d.py _StemConv) — the fanned-out
+        # RGB stream rides HBM as raw uint8
         if task == "lam":
             lam = self.proj_lam(self._lam_tokens(video))
             tokens = self.core.encode_prepare(lam, 0, deterministic)
@@ -183,9 +182,9 @@ class TaskPromptTransformer(_HHIPromptBase):
 
     def encode(self, video, video_asd, audio, audio_asd, task: str,
                deterministic=True):
-        # uint8 feed: the RGB stream fans out to the LAM and TTM trunks —
-        # normalize ONCE here (no-op on float/host-normalized input)
-        video = normalize_u8_frames(video, self.dtype)
+        # uint8 feed: the LAM/TTM trunk stems fold the normalize into
+        # their conv weights (nn/resnet2d.py _StemConv) — the fanned-out
+        # RGB stream rides HBM as raw uint8
         if task == "lam":
             tokens = self.core.encode_prepare(
                 self.proj_lam(self._lam_tokens(video)), 0, deterministic)

@@ -42,7 +42,6 @@ from egot2x.core.registry import MODEL_REGISTRY
 from egot2x.models.lam import LAMBackbone
 from egot2x.models.ttm import TTMBackbone
 from egot2x.nn.common import PositionalEncoding, TransformerEncoder
-from egot2x.nn.resnet2d import normalize_u8_frames
 from egot2x.nn.talknet import TalkNetModel
 
 Dtype = Any
@@ -125,11 +124,11 @@ class TaskFusionMFTransformer2Task(_FusionBase):
     def __call__(self, video, audio, train: bool = False,
                  deterministic: Optional[bool] = None):
         deterministic = not train if deterministic is None else deterministic
-        # uint8 feed: normalize ONCE here — `video` fans out to two
-        # trunks, and the hoist guarantees a single materialized bf16
-        # tensor instead of relying on XLA CSE of the twin in-trunk
-        # normalizes (no-op on float/host-normalized input)
-        video = normalize_u8_frames(video, self.dtype)
+        # uint8 feed: no normalize here — each trunk's stem conv folds
+        # the ToTensor+Normalize affine into its weights (exact,
+        # nn/resnet2d.py _StemConv), so the fanned-out RGB stream is
+        # read from HBM as raw uint8 by both trunks with no
+        # materialized normalized copy
         lam_out = self._maybe_freeze(
             LAMBackbone(dtype=self.dtype, name="lam_model")(video, middle=True))
         ttm_out = self._maybe_freeze(
@@ -155,8 +154,7 @@ class TaskFusionMFTransformer3Task(_FusionBase):
                  deterministic: Optional[bool] = None,
                  calibrate: bool = False):
         deterministic = not train if deterministic is None else deterministic
-        # normalize the shared RGB stream once (see 2Task note above)
-        video = normalize_u8_frames(video, self.dtype)
+        # raw-uint8 RGB stream: trunk stems fold the normalize (2Task note)
         asd_out = self._maybe_freeze(
             self._asd_tokens(video_asd, audio_asd, deterministic=True,
                              calibrate=calibrate))
@@ -186,8 +184,7 @@ class TaskFusionMFTransformer3TaskASD(_FusionBase):
     def __call__(self, video, video_asd, audio, audio_asd, train: bool = False,
                  deterministic: Optional[bool] = None):
         deterministic = not train if deterministic is None else deterministic
-        # normalize the shared RGB stream once (see 2Task note above)
-        video = normalize_u8_frames(video, self.dtype)
+        # raw-uint8 RGB stream: trunk stems fold the normalize (2Task note)
         asd_out = self._maybe_freeze(
             self._asd_tokens(video_asd, audio_asd, deterministic=True))
         lam_out = self._maybe_freeze(
@@ -272,8 +269,7 @@ class TaskFusionLFLinear3Task(_FusionBase):
     @nn.compact
     def __call__(self, video, video_asd, audio, audio_asd, train: bool = False,
                  deterministic: Optional[bool] = None):
-        # normalize the shared RGB stream once (see 2Task note above)
-        video = normalize_u8_frames(video, self.dtype)
+        # raw-uint8 RGB stream: trunk stems fold the normalize (2Task note)
         asd_out = jax.lax.stop_gradient(
             self._asd_tokens(video_asd, audio_asd)).mean(axis=1)
         lam_out = jax.lax.stop_gradient(

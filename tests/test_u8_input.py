@@ -1,13 +1,16 @@
-"""uint8 device-feed parity: in-jit normalization == host normalization.
+"""uint8 device-feed parity: norm-folded stems == host normalization.
 
 The deployment pipeline ships RAW uint8 frames to the device
-(tools/bench_e2e.py) and the models normalize in-jit —
-nn/resnet2d.py normalize_u8_frames for ImageNet RGB trunks, TalkNet's
-native ``(x/255 − 0.4161)/0.1688`` for the grayscale visual frontend —
-so the input rides HBM and the host link at 1/4 the bytes. These tests
-pin the contract: a uint8 feed must produce the same outputs as the
-host-normalized float feed (exactly the same f32 expression, so the
-tolerance is float-rounding only), and float feeds must be untouched.
+(tools/bench_e2e.py) and the models fold the normalization affine into
+their stem conv weights — nn/resnet2d.py ``_StemConv(fold_norm=True)``
+for ImageNet RGB trunks, nn/talknet.py ``_Stem3DConv(fold_norm=(a, b))``
+for the grayscale visual frontend's ``(x/255 − 0.4161)/0.1688`` — so
+the input rides HBM and the host link at 1/4 the bytes and no
+normalized copy is ever materialized. The fold is exact (conv is
+linear; a batch-1 constant map carries the zero-padding border
+correction). These tests pin the contract: a uint8 feed must produce
+the same outputs as the host-normalized float feed up to float
+rounding, and float feeds must be untouched.
 """
 
 import jax
