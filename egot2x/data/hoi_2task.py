@@ -26,7 +26,6 @@ from egot2x.data.lta import (
     ClipDecoder,
     Ego4dLtaDataset,
     Ego4dRecognitionDataset,
-    normalize_clip,
     spatial_transform,
     to_pathways,
 )
@@ -56,9 +55,10 @@ class PnrWithAuxDataset(PnrClipDataset):
         clip = frames[idx]
         clip = np.stack([cv2.resize(f, (self.aux_crop, self.aux_crop))
                          for f in clip])
+        # raw uint8 pathways (model stems fold the normalize in-jit)
         slow, fast = to_pathways(clip, self.aux_alpha)
-        item["slow"] = normalize_clip(slow)
-        item["fast"] = normalize_clip(fast)
+        item["slow"] = slow
+        item["fast"] = fast
         return item
 
 
@@ -75,9 +75,9 @@ class RecognitionWithAuxDataset(Ego4dRecognitionDataset):
         s = float(info["action_clip_start_sec"])
         e = float(info["action_clip_end_sec"])
         frames = self.decoder.decode(info["clip_uid"], s, e, self.pnr_frames)
-        frames = np.stack([cv2.resize(f, (self.pnr_crop, self.pnr_crop))
-                           for f in frames])
-        return frames.astype(np.float32)
+        # raw uint8 (PNR raw-[0,255] convention; models cast in-jit)
+        return np.stack([cv2.resize(f, (self.pnr_crop, self.pnr_crop))
+                         for f in frames])
 
     def __getitem__(self, index: int) -> Dict:
         item = super().__getitem__(index)
@@ -153,7 +153,7 @@ class LtaWithAuxDataset(Ego4dLtaDataset):
             frames = self.decoder.decode(info["clip_uid"], s, e, self.pnr_frames)
             frames = np.stack([cv2.resize(f, (self.pnr_crop, self.pnr_crop))
                                for f in frames])
-            streams.append(frames.astype(np.float32))
+            streams.append(frames)  # raw uint8 (models cast in-jit)
         item["frames_pnr"] = np.stack(streams)
         return item
 

@@ -38,6 +38,10 @@ STD = np.array([0.225, 0.225, 0.225], dtype=np.float32)
 
 
 def normalize_clip(frames_u8: np.ndarray) -> np.ndarray:
+    """Host-side Ego4D normalize — the parity oracle for the uint8
+    pathway feed (tests/test_u8_input.py) and the STA float pipeline;
+    the LTA/AR loaders ship RAW uint8 and the model stems fold this
+    affine into their conv weights (nn/resnet3d.py VideoStem)."""
     return (frames_u8.astype(np.float32) / 255.0 - MEAN) / STD
 
 
@@ -145,8 +149,10 @@ class Ego4dRecognitionDataset(Dataset):
         frames = self.decoder.decode(info["clip_uid"], s, e, self.num_frames)
         frames = spatial_transform(frames, self.mode == "train",
                                    self.crop_size, rng)
-        slow, fast = to_pathways(frames, self.alpha)
-        return normalize_clip(slow), normalize_clip(fast)
+        # raw uint8 pathways: the model stems fold the DATA.MEAN/STD
+        # normalize into their conv weights (nn/resnet3d.py VideoStem;
+        # MViT normalizes in-jit) — 1/4 the host->device bytes
+        return to_pathways(frames, self.alpha)
 
     def __getitem__(self, index: int) -> Dict:
         info = self.clips[index]

@@ -54,7 +54,7 @@ def sample_frames(start: int, end: int, num_required: int, pnr_frame):
 
 
 class PnrClipDataset(Dataset):
-    """16-frame clips + keyframe/state labels, NTHWC float32 [0,255]."""
+    """16-frame clips + keyframe/state labels, NTHWC uint8 [0,255]."""
 
     def __init__(
         self,
@@ -90,8 +90,10 @@ class PnrClipDataset(Dataset):
     def _load_frame(self, path: str) -> np.ndarray:
         img = cv2.imread(path)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        img = cv2.resize(img, (self.crop_size, self.crop_size))
-        return img.astype(np.float32)
+        # ships RAW uint8: the PNR models cast in-jit (raw-[0,255]
+        # convention, nn/resnet3d.py VideoStem input_norm=None) — 1/4
+        # the host->device bytes, bit-identical values
+        return cv2.resize(img, (self.crop_size, self.crop_size))
 
     def __getitem__(self, index: int) -> Dict:
         info = self.clips[index]
@@ -128,7 +130,7 @@ class PnrClipDataset(Dataset):
             state = 0
         effective_fps = self.num_frames / max((end - start) / 30.0, 1e-6)
         return {
-            "frames": frames,  # (16, S, S, 3) float32 [0,255]
+            "frames": frames,  # (16, S, S, 3) uint8 [0,255]
             "labels": labels,  # (16,) one-hot (or zeros)
             "state": np.int64(state),
             "fps": np.float32(effective_fps),

@@ -46,8 +46,12 @@ class KeyframeLocalizationResNet(nn.Module):
 
     @nn.compact
     def __call__(self, frames, train: bool = False, middle: bool = False):
+        # input_norm=None: the PNR pipeline feeds RAW [0,255] pixels
+        # (reference FixedSegLabelledDataset has no Normalize); a uint8
+        # feed is cast only, never ImageNet/Ego4D-normalized
         y = ResNet3D(arch=self.arch, depth=self.depth, remat=self.remat,
-                     dtype=self.dtype, name="trunk")(frames, train=train)
+                     input_norm=None, dtype=self.dtype,
+                     name="trunk")(frames, train=train)
         return KeyframeLocalizationHead(
             num_classes=self.num_classes,
             spatial_pool=_head_spatial_pool(self.crop_size, self.arch),
@@ -78,8 +82,12 @@ class StateChangeClsResNet(nn.Module):
 
     @nn.compact
     def __call__(self, frames, train: bool = False, middle: bool = False):
+        # input_norm=None: the PNR pipeline feeds RAW [0,255] pixels
+        # (reference FixedSegLabelledDataset has no Normalize); a uint8
+        # feed is cast only, never ImageNet/Ego4D-normalized
         y = ResNet3D(arch=self.arch, depth=self.depth, remat=self.remat,
-                     dtype=self.dtype, name="trunk")(frames, train=train)
+                     input_norm=None, dtype=self.dtype,
+                     name="trunk")(frames, train=train)
         t_pool = 1 if self.no_temp_pool else y.shape[1]
         out = KeyframeLocalizationHead(
             num_classes=self.num_classes,
@@ -112,8 +120,8 @@ class DualHeadResNet(nn.Module):
 
     @nn.compact
     def __call__(self, frames, train: bool = False):
-        y = ResNet3D(arch=self.arch, depth=self.depth, dtype=self.dtype,
-                     name="trunk")(frames, train=train)
+        y = ResNet3D(arch=self.arch, depth=self.depth, input_norm=None,
+                     dtype=self.dtype, name="trunk")(frames, train=train)
         sp = _head_spatial_pool(self.crop_size, self.arch)
         keyframe = KeyframeLocalizationHead(
             num_classes=1, spatial_pool=sp, temporal_pool=1,

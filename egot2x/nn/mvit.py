@@ -301,6 +301,14 @@ class MViT(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, middle: bool = False):
         x = self._select_pathway(x)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # uint8 device feed (egot2x/data/lta.py ships raw frames):
+            # Ego4D DATA.MEAN/STD normalize in the compute dtype. The
+            # patch-embed conv carries a bias so the conv-weight fold
+            # (nn/resnet3d.py _VideoStemConv) is not applied here; the
+            # 4x-lighter transfer still holds and MViT is not the
+            # flagship bench path.
+            x = (x.astype(self.dtype) / 255.0 - 0.45) / 0.225
         x, thw = PatchEmbed(self.embed_dim, dtype=self.dtype,
                             name="patch_embed")(x)
         b, n, _ = x.shape

@@ -135,19 +135,63 @@ class ResStage(nn.Module):
         return x
 
 
-class VideoStem(nn.Module):
-    """Conv(t,7,7)/(1,2,2) + BN + relu + maxpool(1,3,3)/(1,2,2)."""
+class _VideoStemConv(nn.Module):
+    """Conv(t,7,7)/(1,2,2) with the same param layout as ``nn.Conv``
+    (param ``kernel`` under this module's scope, no bias) plus the
+    norm-folding path: for raw integer pixels, the affine
+    ``x_norm = x·a + b`` rides the conv (exact, conv is linear):
+    ``conv(x·a + b·1_img, K) = conv(x, K·a) + b·conv(1_img, K)`` — the
+    second term is a batch-1 constant map carrying the zero-padding
+    border correction. Mirrors nn/resnet2d.py ``_StemConv``; the frames
+    then ride HBM and the host link as uint8 (1/4 the f32 bytes) with
+    no normalized intermediate."""
 
     width: int
     temp_kernel: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, fold=None):
         t = self.temp_kernel
-        y = nn.Conv(self.width, (t, 7, 7), strides=(1, 2, 2),
-                    padding=[(t // 2, t // 2), (3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (t, 7, 7, x.shape[-1], self.width), jnp.float32)
+        run = lambda v, k: jax.lax.conv_general_dilated(
+            v.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(1, 2, 2),
+            padding=[(t // 2, t // 2), (3, 3), (3, 3)],
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+        if fold is None:
+            return run(x, kernel)
+        a, b = fold
+        ones = jnp.ones((1,) + x.shape[1:], jnp.float32)
+        return run(x, kernel * a) + b * run(ones, kernel)
+
+
+class VideoStem(nn.Module):
+    """Conv(t,7,7)/(1,2,2) + BN + relu + maxpool(1,3,3)/(1,2,2).
+
+    ``input_norm``: the ``(x/255 − mean)/std`` convention this stem
+    folds into its conv when handed RAW integer frames (the uint8
+    device feed). Default is the Ego4D/PySlowFast scalar statistics
+    (DATA.MEAN 0.45 / DATA.STD 0.225 — egot2x/data/lta.py
+    normalize_clip); ``None`` means integer input is only cast — the
+    raw-[0,255] convention of the PNR family (the reference PNR
+    pipeline feeds unnormalized pixels). Float input is always
+    consumed as-is (already host-normalized)."""
+
+    width: int
+    temp_kernel: int
+    input_norm: Any = (0.45, 0.225)  # (mean, std) or None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        fold = None
+        if jnp.issubdtype(x.dtype, jnp.integer) and self.input_norm is not None:
+            mean, std = self.input_norm
+            fold = (1.0 / (255.0 * std), -mean / std)
+        y = _VideoStemConv(self.width, self.temp_kernel, dtype=self.dtype,
+                           name="conv")(x, fold=fold)
         y = nn.relu(_bn(train, self.dtype, "bn")(y))
         b, tt = y.shape[0], y.shape[1]
         y = y.reshape(b * tt, *y.shape[2:])
@@ -170,6 +214,9 @@ class ResNet3D(nn.Module):
     spatial_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
     num_block_temp_kernel: Tuple[int, int, int, int] = (3, 4, 6, 3)
     remat: bool = False
+    # uint8-feed convention folded into the stem (see VideoStem); the
+    # PNR family overrides with None (raw [0,255] pixels)
+    input_norm: Any = (0.45, 0.225)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -179,7 +226,8 @@ class ResNet3D(nn.Module):
         dim_inner = self.num_groups * w
         tk = TEMPORAL_KERNEL_BASIS[self.arch]
         stage_cls = nn.remat(ResStage, static_argnums=(2,)) if self.remat             else ResStage
-        y = VideoStem(w, tk[0][0], dtype=self.dtype, name="s1")(x, train=train)
+        y = VideoStem(w, tk[0][0], input_norm=self.input_norm,
+                      dtype=self.dtype, name="s1")(x, train=train)
         y = stage_cls(w * 4, dim_inner, d2, tk[1], self.num_block_temp_kernel[0],
                       self.spatial_strides[0], dtype=self.dtype, name="s2")(y, train)
         pt = POOL1[self.arch][0]

@@ -62,9 +62,9 @@ def test_talknet_visual_u8_feed_matches_float_feed():
 def test_flagship_translator_u8_feed_matches_float_feed():
     """Full flagship: uint8 video + video_asd feed == host-normalized feed.
 
-    Covers the translator-level normalize hoist (egot2s_hhi.py: the RGB
-    stream fans out to the LAM and TTM trunks and is normalized ONCE)
-    plus TalkNet's in-jit grayscale normalize, end to end.
+    Covers the norm-folded stems end to end: the RGB stream fans out to
+    the LAM and TTM trunks as raw uint8 (each folds the ImageNet affine,
+    egot2s_hhi.py) plus TalkNet's folded grayscale stem.
     """
     from egot2x.core.registry import build_model
     import egot2x.translate.egot2s_hhi  # noqa: F401  (registers models)
@@ -121,3 +121,75 @@ def test_flagship_quant_u8_feed_matches_float_feed():
     # bf16 compute: identical quantized trunks, rounding-only delta
     np.testing.assert_allclose(out_u, out_f, rtol=0, atol=5e-2)
     assert np.isfinite(out_u).all()
+
+
+def test_videostem_u8_fold_matches_host_normalize():
+    """HOI 3D stem: raw uint8 + folded Ego4D normalize == host
+    normalize_clip float feed (nn/resnet3d.py VideoStem default)."""
+    from egot2x.data.lta import normalize_clip
+    from egot2x.nn.resnet3d import VideoStem
+
+    model = VideoStem(width=8, temp_kernel=3)
+    rng = np.random.default_rng(6)
+    u8 = rng.integers(0, 256, (2, 4, 16, 16, 3), dtype=np.uint8)
+    variables = model.init(jax.random.key(0), jnp.asarray(u8), train=False)
+    out_u8 = np.asarray(model.apply(variables, jnp.asarray(u8), train=False))
+    out_f = np.asarray(model.apply(
+        variables, jnp.asarray(normalize_clip(u8)), train=False))
+    np.testing.assert_allclose(out_u8, out_f, rtol=0, atol=1e-4)
+
+
+def test_videostem_u8_raw_cast_matches_float255():
+    """PNR raw-[0,255] convention (input_norm=None): a uint8 feed is a
+    pure cast — bit-identical to the float [0,255] feed."""
+    from egot2x.nn.resnet3d import VideoStem
+
+    model = VideoStem(width=8, temp_kernel=3, input_norm=None)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (2, 4, 16, 16, 3), dtype=np.uint8)
+    variables = model.init(jax.random.key(0), jnp.asarray(u8), train=False)
+    out_u8 = np.asarray(model.apply(variables, jnp.asarray(u8), train=False))
+    out_f = np.asarray(model.apply(
+        variables, jnp.asarray(u8, jnp.float32), train=False))
+    np.testing.assert_array_equal(out_u8, out_f)
+
+
+def test_slowfast_u8_pathways_match_float(tmp_path):
+    """SlowFast consumes the loader's raw-uint8 [slow, fast] pathways ==
+    host-normalized float pathways (both stems fold)."""
+    from egot2x.data.lta import normalize_clip
+    from egot2x.nn.slowfast import SlowFast
+
+    model = SlowFast(width_per_group=8, alpha=4, beta_inv=8,
+                     num_block_temp_kernel=(1, 1, 1, 1))
+    rng = np.random.default_rng(8)
+    slow_u8 = rng.integers(0, 256, (1, 1, 32, 32, 3), dtype=np.uint8)
+    fast_u8 = rng.integers(0, 256, (1, 4, 32, 32, 3), dtype=np.uint8)
+    u_in = [jnp.asarray(slow_u8), jnp.asarray(fast_u8)]
+    f_in = [jnp.asarray(normalize_clip(slow_u8)),
+            jnp.asarray(normalize_clip(fast_u8))]
+    variables = model.init(jax.random.key(0), u_in, train=False)
+    out_u = model.apply(variables, u_in, train=False)
+    out_f = model.apply(variables, f_in, train=False)
+    for u, f in zip(out_u, out_f):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(f),
+                                   rtol=0, atol=5e-4)
+
+
+def test_mvit_u8_feed_matches_float_feed():
+    """MViT normalizes integer input in-jit (Ego4D stats) == the host
+    normalize_clip float feed."""
+    from egot2x.data.lta import normalize_clip
+    from egot2x.nn.mvit import MViT
+
+    model = MViT(embed_dim=16, depth=2, num_heads=1, num_classes=(5,),
+                 num_frames=4, dim_mul_blocks=(1,), head_mul_blocks=(1,),
+                 q_pool_blocks=(1,), drop_path_rate=0.0, dropout_rate=0.0)
+    rng = np.random.default_rng(9)
+    u8 = rng.integers(0, 256, (1, 4, 32, 32, 3), dtype=np.uint8)
+    variables = model.init(jax.random.key(0), jnp.asarray(u8), train=False)
+    out_u8 = model.apply(variables, jnp.asarray(u8), train=False)
+    out_f = model.apply(variables, jnp.asarray(normalize_clip(u8)),
+                        train=False)
+    np.testing.assert_allclose(np.asarray(out_u8[0]), np.asarray(out_f[0]),
+                               rtol=0, atol=1e-4)
