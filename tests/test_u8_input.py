@@ -193,3 +193,35 @@ def test_mvit_u8_feed_matches_float_feed():
                         train=False)
     np.testing.assert_allclose(np.asarray(out_u8[0]), np.asarray(out_f[0]),
                                rtol=0, atol=1e-4)
+
+
+def test_fold_gradients_match_float_path():
+    """The folds sit in the TRAINING path (loaders ship uint8), so the
+    kernel gradients through the folded stems must equal the gradients
+    of the explicit-normalize float path (both terms are linear in the
+    kernel; equality is float-rounding only)."""
+    from egot2x.data.lta import normalize_clip
+    from egot2x.nn.resnet3d import VideoStem
+
+    model = VideoStem(width=8, temp_kernel=3)
+    rng = np.random.default_rng(10)
+    u8 = rng.integers(0, 256, (2, 4, 16, 16, 3), dtype=np.uint8)
+    variables = model.init(jax.random.key(0), jnp.asarray(u8), train=False)
+
+    def loss_u8(params):
+        out = model.apply({**variables, "params": params},
+                          jnp.asarray(u8), train=False)
+        return jnp.sum(out * out)
+
+    def loss_f(params):
+        out = model.apply({**variables, "params": params},
+                          jnp.asarray(normalize_clip(u8)), train=False)
+        return jnp.sum(out * out)
+
+    g_u8 = jax.grad(loss_u8)(variables["params"])
+    g_f = jax.grad(loss_f)(variables["params"])
+    flat_u8 = jax.tree_util.tree_leaves(g_u8)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    for a, b in zip(flat_u8, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-3)
