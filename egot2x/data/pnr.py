@@ -95,6 +95,21 @@ class PnrClipDataset(Dataset):
         # the host->device bytes, bit-identical values
         return cv2.resize(img, (self.crop_size, self.crop_size))
 
+    def _load_frames(self, paths) -> np.ndarray:
+        """Batched C++ decode+resize across a thread pool when available
+        (egot2x.native, same fast path as the LAM loader); python/cv2
+        fallback otherwise. Full-frame bboxes (x1 < 0) ⇒ resize only."""
+        try:
+            from egot2x import native
+
+            if native.AVAILABLE and all(os.path.exists(p) for p in paths):
+                bboxes = np.full((len(paths), 4), -1.0, np.float32)
+                return native.decode_crop_resize(bboxes=bboxes, paths=paths,
+                                                 out_size=self.crop_size)
+        except Exception:
+            pass
+        return np.stack([self._load_frame(p) for p in paths])
+
     def __getitem__(self, index: int) -> Dict:
         info = self.clips[index]
         pnr_frame = info.get("pnr_frame")
@@ -117,10 +132,8 @@ class PnrClipDataset(Dataset):
             start, end = clip_start, clip_end
         frame_nums, candidates = sample_frames(start, end, self.num_frames, pnr_frame)
         clip_dir = self._clip_dir(info)
-        frames = np.stack([
-            self._load_frame(os.path.join(clip_dir, f"{fn}.jpeg"))
-            for fn in frame_nums
-        ])
+        frames = self._load_frames(
+            [os.path.join(clip_dir, f"{fn}.jpeg") for fn in frame_nums])
         if pnr_frame is not None:
             labels = np.zeros(self.num_frames, dtype=np.float32)
             labels[int(np.argmin(candidates))] = 1.0

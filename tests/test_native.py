@@ -52,3 +52,27 @@ def test_lam_loader_native_path(tmp_path, rng):
     item = ds[1]  # interior keyframe: full native window
     assert item["frames"].shape == (7, 32, 32, 3)
     assert np.isfinite(item["frames"]).all()
+
+
+def test_pnr_loader_native_matches_python(tmp_path):
+    """PNR frame loading: the batched C++ decode path must produce the
+    same uint8 frames as the per-frame cv2 path (full-frame resize)."""
+    from egot2x import native
+    from egot2x.data.pnr import PnrClipDataset
+    from egot2x.data.synthetic import make_pnr_fixture
+
+    root = make_pnr_fixture(str(tmp_path / "pnr"), img_size=32)
+    ds = PnrClipDataset(root, split="train", crop_size=32)
+    item = ds[0]
+    assert item["frames"].dtype == np.uint8
+    assert item["frames"].shape[1:] == (32, 32, 3)
+    if native.AVAILABLE:
+        # force the python path and compare
+        avail, native.AVAILABLE = native.AVAILABLE, False
+        try:
+            item_py = ds[0]
+        finally:
+            native.AVAILABLE = avail
+        np.testing.assert_allclose(
+            item["frames"].astype(np.int16),
+            item_py["frames"].astype(np.int16), atol=1)
