@@ -225,3 +225,18 @@ def test_fold_gradients_match_float_path():
     for a, b in zip(flat_u8, flat_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-3)
+
+
+def test_resnet2d_u8_fused_stem_matches_float():
+    """fold_norm composes with the space-to-depth stem transform: the
+    folded kernel rides the same re-indexing and the bias map is built
+    by the same padded conv."""
+    model = ResNet2D(stage_sizes=(1,), num_classes=4, fc2_features=8,
+                     width=8, fused_stem=True)
+    rng = np.random.default_rng(11)
+    u8 = rng.integers(0, 256, (2, 17, 17, 3), dtype=np.uint8)
+    variables = model.init(jax.random.key(0), jnp.asarray(u8), train=False)
+    out_u8 = np.asarray(model.apply(variables, jnp.asarray(u8), train=False))
+    out_f = np.asarray(model.apply(
+        variables, jnp.asarray(normalize_frames(u8)), train=False))
+    np.testing.assert_allclose(out_u8, out_f, rtol=0, atol=1e-5)
