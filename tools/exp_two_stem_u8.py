@@ -80,6 +80,31 @@ def main():
         return (stem(norm(xu, jnp.float32), ks[0]),
                 stem(norm(xu, jnp.float32), ks[1]))
 
+    # E: the SHIPPED norm-folded stems (nn/resnet2d.py _StemConv): each
+    # stem consumes raw u8 with the affine folded into its kernel plus
+    # a batch-1 border-correction map — no normalized intermediate; the
+    # open question is whether the u8->bf16 convert fuses into the conv
+    # input read (if not, each stem pays a private bf16 copy)
+    a_fold = (1.0 / (255.0 * STD)).astype(np.float32)
+    b_img = np.broadcast_to(-MEAN / STD, (1, IMG, IMG, 3)).astype(np.float32)
+
+    def stem_folded(xu, k):
+        y = jax.lax.conv_general_dilated(
+            xu.astype(jnp.bfloat16),
+            jnp.asarray(k * a_fold[None, None, :, None], jnp.bfloat16),
+            (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn)
+        m = jax.lax.conv_general_dilated(
+            jnp.asarray(b_img, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+            (2, 2), [(3, 3), (3, 3)], dimension_numbers=dn)
+        y = y + m
+        y = jnp.maximum(y.astype(jnp.float32) * gamma + beta, 0.0)
+        q = jnp.clip(jnp.round(y / s_out), -127, 127).astype(jnp.int8)
+        return nn.max_pool(q, (3, 3), strides=(2, 2),
+                           padding=[(1, 1), (1, 1)])
+
+    def f_e(xu):
+        return stem_folded(xu, ks[0]), stem_folded(xu, ks[1])
+
     # generate the inputs ON device: a multi-GB device_put rides the
     # ~27 MB/s axon tunnel (minutes); the values don't matter for perf
     del x_u8, x_f32
@@ -94,6 +119,7 @@ def main():
     bench("B u8, per-stem bf16 normalize", f_b, (xu,))
     bench("C u8, one explicit bf16 normalize", f_c, (xu,))
     bench("D u8, per-stem f32 normalize", f_d, (xu,))
+    bench("E u8, norm-FOLDED stems (shipped)", f_e, (xu,))
 
 
 if __name__ == "__main__":
