@@ -532,6 +532,56 @@ def egot2g_2task_rules(num_layers: int = 3):
     return rules
 
 
+def _prefix_src(rules, prefix: str):
+    """Re-root a rule family's torch source keys under ``prefix.``."""
+    return [(f"{prefix}.{src}", dst, transform) for src, dst, transform in rules]
+
+
+def egot2s_ttm_rules(n_tasks: int = 3, num_layers: int = 1):
+    """Reference Stage-II TTM translator state_dict
+    (HHI/models/ttm/model_taskspecific.py:155-245) → egot2x
+    ``TaskFusionMFTransformer{2,3}Task`` tree — the published flagship
+    ``egot2s_{2task,3task}_*.ckpt`` family (README.md:193; defaults match
+    the released hidden 128 / 1-layer configs).
+
+    The frozen backbones translate through their Stage-I rule families
+    re-rooted under the translator attribute names. Torch keys for
+    modules the flax tree never constructs under ``middle=True`` token
+    extraction — the LAM/TTM BiLSTMs and the TTM ResNetSE audio
+    encoder — fall to ``unused`` and are pruned by
+    ``partial_match_load`` (mirroring the reference's own strict=False
+    loads). The sinusoidal ``pos_embed.pe`` buffer has no parameters on
+    either side. The SHARED encode-LN ``ln`` maps to core/ln; the head's
+    LayerNorm is ``linear_head.0`` → head_ln (distinct tensors — the
+    parity tie the round-2 fix established).
+    """
+    rules = []
+    rules += resnet18_rules("lam_model.base_model",
+                            ["lam_model", "trunk", "base_model"])
+    rules += resnet18_rules("ttm_model.video_encoder",
+                            ["ttm_model", "trunk", "video_encoder"])
+    if n_tasks == 3:
+        rules += _prefix_src(talknet_rules(["asd_model"]), "asd_model")
+    streams = ["ttm", "lam"] + (["asd"] if n_tasks == 3 else [])
+    for s in streams:
+        rules += _linear_rule(f"proj_{s}", ["core", f"proj_{s}"])
+    rules += [
+        ("task_embed", ("params", ["core", "task_embed"]), t_id),
+        ("ln.weight", ("params", ["core", "ln", "scale"]), t_id),
+        ("ln.bias", ("params", ["core", "ln", "bias"]), t_id),
+        ("linear_head.0.weight", ("params", ["head_ln", "scale"]), t_id),
+        ("linear_head.0.bias", ("params", ["head_ln", "bias"]), t_id),
+    ]
+    rules += _linear_rule("linear_head.1", ["head_fc"])
+    rules += torch_encoder_rules("transformer_encoder",
+                                 ["core", "transformer_encoder"], num_layers)
+    return rules
+
+
+def egot2s_ttm_2task_rules(num_layers: int = 1):
+    return egot2s_ttm_rules(2, num_layers)
+
+
 # ---- caffe2 / partial-match loaders -------------------------------------
 
 _C2_PAIRS = [
@@ -638,6 +688,8 @@ FAMILIES: Dict[str, Callable[[], list]] = {
     "oscc": oscc_rules,
     "ts_pnr": ts_pnr_rules,
     "egot2g_2task": egot2g_2task_rules,
+    "egot2s_ttm_2task": egot2s_ttm_2task_rules,
+    "egot2s_ttm_3task": egot2s_ttm_rules,
 }
 
 

@@ -381,7 +381,14 @@ class AudioEncoder(nn.Module):
 
 
 class CrossAttentionLayer(nn.Module):
-    """Post-LN block: MHA(tar, src, src) + FFN(4×) (attentionLayer.py:12-42)."""
+    """Post-LN block: MHA(tar, src, src) + FFN(4×) (attentionLayer.py:12-42).
+
+    The attention residual lands on SRC (attentionLayer.py:36
+    ``src = src + dropout(attn(query=tar, key=src, value=src))``) — the
+    query stream only steers; the output stays aligned to src. For
+    ``self_av`` src == tar so either wiring is identical; for the cross
+    A↔V layers the distinction is real (caught by the full-flagship
+    golden, tests/test_torch_import_egot2s_ttm.py)."""
 
     d_model: int
     num_heads: int
@@ -395,7 +402,7 @@ class CrossAttentionLayer(nn.Module):
                                   dropout_rate=self.dropout, dtype=self.dtype,
                                   name="self_attn")(
             tar, src, src, deterministic=deterministic)
-        x = tar + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = nn.Dense(self.d_model * 4, dtype=self.dtype, name="linear1")(x)
         h = nn.relu(h)
