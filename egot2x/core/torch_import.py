@@ -532,6 +532,55 @@ def egot2g_2task_rules(num_layers: int = 3):
     return rules
 
 
+def egot2g_action_rules(num_layers: int = 3, agg_layers: int = 6,
+                        temporal: bool = True):
+    """Reference ``TaskTranslationPromptTransformer[Temporal]ActionTask``
+    state_dict (HOI/models/multitask/video_model_builder_action.py:21-215,
+    the unify4taskaction EgoT2-g model) → egot2x
+    TaskTranslationPromptTransformerActionTask tree: the frozen AR
+    SlowFast trunk with its LIVE feature head (reference
+    freeze_backbone_params never freezes ``head``), the frozen LTA
+    ``ForecastingEncoderDecoder`` (SlowFast-with-head clip backbone +
+    transformer clip aggregator incl. the encoder's final norm), the
+    temporal-variant slow/fast/lta projections, the learned (1, 4, D)
+    ``pe``, and the prompt core. The LTA ``decoder`` (MultiHeadDecoder)
+    and the sinusoidal PE buffers exist in reference checkpoints but
+    are dead under the prompt model — load via ``partial_match_load``
+    to prune them."""
+    rules = []
+    rules += slowfast_rules("action_model", ["action_model"])
+    rules += _linear_rule("action_model.head.projection",
+                          ["action_head", "projection_0"])
+    rules += slowfast_rules("lta_model.backbone", ["lta_backbone", "trunk"])
+    rules += _linear_rule("lta_model.backbone.head.projection",
+                          ["lta_backbone", "head", "projection_0"])
+    rules += torch_encoder_rules("lta_model.clip_aggregator.encoder",
+                                 ["lta_aggregator", "encoder"], agg_layers)
+    rules += [
+        # torch serializes TransformerEncoder(norm=LayerNorm) as
+        # ``encoder.norm``; egot2x keeps it outside the stack
+        ("lta_model.clip_aggregator.encoder.norm.weight",
+         ("params", ["lta_aggregator", "final_ln", "scale"]), t_id),
+        ("lta_model.clip_aggregator.encoder.norm.bias",
+         ("params", ["lta_aggregator", "final_ln", "bias"]), t_id),
+        ("pe", ("params", ["pe"]), t_id),
+        ("task_embed", ("params", ["core", "task_embed"]), t_id),
+        ("embedding.weight",
+         ("params", ["core", "embedding", "embedding"]), t_id),
+        ("ln.weight", ("params", ["core", "ln", "scale"]), t_id),
+        ("ln.bias", ("params", ["core", "ln", "bias"]), t_id),
+    ]
+    rules += _linear_rule("fc", ["core", "fc"])
+    rules += torch_encoder_rules("transformer_encoder",
+                                 ["core", "transformer_encoder"], num_layers)
+    rules += torch_decoder_rules("transformer_decoder",
+                                 ["core", "transformer_decoder"], num_layers)
+    if temporal:
+        for proj in ("proj_action_slow", "proj_action_fast", "proj_lta"):
+            rules += _linear_rule(proj, [proj])
+    return rules
+
+
 def _prefix_src(rules, prefix: str):
     """Re-root a rule family's torch source keys under ``prefix.``."""
     return [(f"{prefix}.{src}", dst, transform) for src, dst, transform in rules]
@@ -688,6 +737,7 @@ FAMILIES: Dict[str, Callable[[], list]] = {
     "oscc": oscc_rules,
     "ts_pnr": ts_pnr_rules,
     "egot2g_2task": egot2g_2task_rules,
+    "egot2g_action": egot2g_action_rules,
     "egot2s_ttm_2task": egot2s_ttm_2task_rules,
     "egot2s_ttm_3task": egot2s_ttm_rules,
 }
