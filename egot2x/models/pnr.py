@@ -25,6 +25,10 @@ from egot2x.nn.resnet3d import (
     ResNet3D,
 )
 
+# nonlocal_cfg on the Stage-I models: per-stage Nonlocal wiring from
+# nn.resnet3d.resolve_nonlocal (reference NONLOCAL.* config group,
+# HOI/configs/pnr/defaults.py:259-276)
+
 Dtype = Any
 
 
@@ -42,6 +46,7 @@ class KeyframeLocalizationResNet(nn.Module):
     num_classes: int = 1  # per-frame logit; (B, T) after squeeze
     dropout_rate: float = 0.5
     remat: bool = False
+    nonlocal_cfg: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -50,8 +55,8 @@ class KeyframeLocalizationResNet(nn.Module):
         # (reference FixedSegLabelledDataset has no Normalize); a uint8
         # feed is cast only, never ImageNet/Ego4D-normalized
         y = ResNet3D(arch=self.arch, depth=self.depth, remat=self.remat,
-                     input_norm=None, dtype=self.dtype,
-                     name="trunk")(frames, train=train)
+                     input_norm=None, nonlocal_cfg=self.nonlocal_cfg,
+                     dtype=self.dtype, name="trunk")(frames, train=train)
         return KeyframeLocalizationHead(
             num_classes=self.num_classes,
             spatial_pool=_head_spatial_pool(self.crop_size, self.arch),
@@ -78,6 +83,7 @@ class StateChangeClsResNet(nn.Module):
     no_temp_pool: bool = False
     dropout_rate: float = 0.5
     remat: bool = False
+    nonlocal_cfg: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -86,8 +92,8 @@ class StateChangeClsResNet(nn.Module):
         # (reference FixedSegLabelledDataset has no Normalize); a uint8
         # feed is cast only, never ImageNet/Ego4D-normalized
         y = ResNet3D(arch=self.arch, depth=self.depth, remat=self.remat,
-                     input_norm=None, dtype=self.dtype,
-                     name="trunk")(frames, train=train)
+                     input_norm=None, nonlocal_cfg=self.nonlocal_cfg,
+                     dtype=self.dtype, name="trunk")(frames, train=train)
         t_pool = 1 if self.no_temp_pool else y.shape[1]
         out = KeyframeLocalizationHead(
             num_classes=self.num_classes,
@@ -116,11 +122,13 @@ class DualHeadResNet(nn.Module):
     crop_size: int = 225
     num_frames: int = 16
     dropout_rate: float = 0.5
+    nonlocal_cfg: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, frames, train: bool = False):
         y = ResNet3D(arch=self.arch, depth=self.depth, input_norm=None,
+                     nonlocal_cfg=self.nonlocal_cfg,
                      dtype=self.dtype, name="trunk")(frames, train=train)
         sp = _head_spatial_pool(self.crop_size, self.arch)
         keyframe = KeyframeLocalizationHead(

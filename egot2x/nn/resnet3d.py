@@ -58,6 +58,80 @@ def _bn(train, dtype, name):
                         epsilon=1e-5, dtype=dtype, name=name)
 
 
+class Nonlocal(nn.Module):
+    """Non-local block (Wang et al. 2018) in NTHWC.
+
+    Behavioral reference: HOI/models/lta/nonlocal_helper.py:13-145 —
+    theta/phi/g 1×1×1 convs (dim → dim_inner, bias on), optional
+    max-pool on the phi/g branch, affinity normalized by softmax
+    (scaled by dim_inner^-0.5) or dot_product (divided by the pooled
+    position count), out conv back to dim, zero-init BN, residual add.
+
+    TPU note: the THW×THW affinity is one big batched matmul per clip —
+    einsum keeps it on the MXU with channels in the contraction.
+    """
+
+    dim_inner: int
+    pool_size: Any = None  # (t, h, w) max-pool on phi/g, or None
+    instantiation: str = "dot_product"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, t, h, w, c = x.shape
+        theta = nn.Conv(self.dim_inner, (1, 1, 1), dtype=self.dtype,
+                        name="conv_theta")(x)
+        xp = x
+        if self.pool_size is not None and any(s > 1 for s in self.pool_size):
+            ps = tuple(self.pool_size)
+            xp = nn.max_pool(x, ps, strides=ps)
+        phi = nn.Conv(self.dim_inner, (1, 1, 1), dtype=self.dtype,
+                      name="conv_phi")(xp)
+        g = nn.Conv(self.dim_inner, (1, 1, 1), dtype=self.dtype,
+                    name="conv_g")(xp)
+        theta = theta.reshape(b, t * h * w, self.dim_inner)
+        phi = phi.reshape(b, -1, self.dim_inner)
+        g = g.reshape(b, -1, self.dim_inner)
+        aff = jnp.einsum("bqc,bpc->bqp", theta, phi)
+        if self.instantiation == "softmax":
+            aff = jax.nn.softmax(
+                aff.astype(jnp.float32) * self.dim_inner ** -0.5, axis=2
+            ).astype(theta.dtype)
+        elif self.instantiation == "dot_product":
+            aff = aff / aff.shape[2]
+        else:
+            raise NotImplementedError(
+                f"Unknown nonlocal instantiation {self.instantiation}")
+        y = jnp.einsum("bqp,bpc->bqc", aff, g).reshape(
+            b, t, h, w, self.dim_inner)
+        y = nn.Conv(c, (1, 1, 1), dtype=self.dtype, name="conv_out")(y)
+        # zero_init_final_norm=True (reference default): the block starts
+        # as identity
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         scale_init=nn.initializers.zeros, name="bn")(y)
+        return x + y
+
+
+def resolve_nonlocal(location, group=None, pool=None,
+                     instantiation="dot_product", pathway=0):
+    """Reference NONLOCAL.{LOCATION,GROUP,POOL,INSTANTIATION} lists →
+    the per-stage ``nonlocal_cfg`` tuple ResNet3D consumes, or None when
+    no stage enables a block. ``location`` is the reference per-stage ×
+    per-pathway nesting ([[[]], [[]], [[]], [[]]] default)."""
+    if location is None:
+        return None
+    sel = lambda stage: tuple(stage[pathway]) if stage and isinstance(
+        stage[0], (list, tuple)) else tuple(stage)
+    inds = tuple(sel(s) for s in location)
+    if not any(inds):
+        return None
+    grp = tuple((s[pathway] if isinstance(s, (list, tuple)) else s)
+                for s in (group or [1] * 4))
+    pl = tuple(tuple(p) for p in (pool or [[1, 2, 2]] * 4))
+    return (inds, grp, pl, instantiation)
+
+
 class BottleneckTransform(nn.Module):
     """Tx1x1 → 1x3x3(stride) → 1x1x1 bottleneck (resnet_helper.py)."""
 
@@ -119,6 +193,13 @@ class ResStage(nn.Module):
     num_block_temp_kernel: int
     stride: int
     dilation: int = 1
+    # nonlocal wiring (reference resnet_helper.py:511-548): a Nonlocal
+    # block after each block index in nonlocal_inds; group>1 folds T
+    # into batch before it
+    nonlocal_inds: Sequence[int] = ()
+    nonlocal_group: int = 1
+    nonlocal_pool: Any = None
+    nonlocal_instantiation: str = "dot_product"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -132,6 +213,18 @@ class ResStage(nn.Module):
             x = ResBlock(self.dim_out, self.dim_inner, tk,
                          self.stride if i == 0 else 1, self.dilation,
                          dtype=self.dtype, name=f"block{i}")(x, train=train)
+            if i in self.nonlocal_inds:
+                nln = Nonlocal(self.dim_out // 2, self.nonlocal_pool,
+                               self.nonlocal_instantiation, dtype=self.dtype,
+                               name=f"nonlocal{i}")
+                grp = self.nonlocal_group
+                if grp > 1:
+                    b, t = x.shape[0], x.shape[1]
+                    x = x.reshape(b * grp, t // grp, *x.shape[2:])
+                    x = nln(x, train=train)
+                    x = x.reshape(b, t, *x.shape[2:])
+                else:
+                    x = nln(x, train=train)
         return x
 
 
@@ -186,10 +279,16 @@ class VideoStem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from egot2x.nn.resnet2d import stem_norm_mode
+
         fold = None
         if jnp.issubdtype(x.dtype, jnp.integer) and self.input_norm is not None:
             mean, std = self.input_norm
-            fold = (1.0 / (255.0 * std), -mean / std)
+            if stem_norm_mode() == "affine":
+                x = ((x.astype(jnp.float32) / 255.0 - mean)
+                     / std).astype(self.dtype)
+            else:
+                fold = (1.0 / (255.0 * std), -mean / std)
         y = _VideoStemConv(self.width, self.temp_kernel, dtype=self.dtype,
                            name="conv")(x, fold=fold)
         y = nn.relu(_bn(train, self.dtype, "bn")(y))
@@ -217,6 +316,9 @@ class ResNet3D(nn.Module):
     # uint8-feed convention folded into the stem (see VideoStem); the
     # PNR family overrides with None (raw [0,255] pixels)
     input_norm: Any = (0.45, 0.225)
+    # per-stage nonlocal config from resolve_nonlocal():
+    # ((inds,)*4, (group,)*4, (pool,)*4, instantiation) or None
+    nonlocal_cfg: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -226,20 +328,29 @@ class ResNet3D(nn.Module):
         dim_inner = self.num_groups * w
         tk = TEMPORAL_KERNEL_BASIS[self.arch]
         stage_cls = nn.remat(ResStage, static_argnums=(2,)) if self.remat             else ResStage
+        nl = self.nonlocal_cfg or (((),) * 4, (1,) * 4,
+                                   (None,) * 4, "dot_product")
+        nl_kw = lambda i: dict(nonlocal_inds=nl[0][i], nonlocal_group=nl[1][i],
+                               nonlocal_pool=nl[2][i],
+                               nonlocal_instantiation=nl[3])
         y = VideoStem(w, tk[0][0], input_norm=self.input_norm,
                       dtype=self.dtype, name="s1")(x, train=train)
         y = stage_cls(w * 4, dim_inner, d2, tk[1], self.num_block_temp_kernel[0],
-                      self.spatial_strides[0], dtype=self.dtype, name="s2")(y, train)
+                      self.spatial_strides[0], dtype=self.dtype, name="s2",
+                      **nl_kw(0))(y, train)
         pt = POOL1[self.arch][0]
         if pt > 1:  # temporal pool after res2 (c2d/i3d)
             b = y.shape[0]
             y = nn.max_pool(y, (pt, 1, 1), strides=(pt, 1, 1))
         y = stage_cls(w * 8, dim_inner * 2, d3, tk[2], self.num_block_temp_kernel[1],
-                      self.spatial_strides[1], dtype=self.dtype, name="s3")(y, train)
+                      self.spatial_strides[1], dtype=self.dtype, name="s3",
+                      **nl_kw(1))(y, train)
         y = stage_cls(w * 16, dim_inner * 4, d4, tk[3], self.num_block_temp_kernel[2],
-                      self.spatial_strides[2], dtype=self.dtype, name="s4")(y, train)
+                      self.spatial_strides[2], dtype=self.dtype, name="s4",
+                      **nl_kw(2))(y, train)
         y = stage_cls(w * 32, dim_inner * 8, d5, tk[4], self.num_block_temp_kernel[3],
-                      self.spatial_strides[3], dtype=self.dtype, name="s5")(y, train)
+                      self.spatial_strides[3], dtype=self.dtype, name="s5",
+                      **nl_kw(3))(y, train)
         return y
 
 

@@ -29,6 +29,7 @@ from egot2x.metrics.pnr import (
     keyframe_distance,
     state_change_accuracy,
 )
+from egot2x.nn.resnet3d import resolve_nonlocal
 from egot2x.tasks.base import Task
 from egot2x.train.optim import construct_optimizer, lr_schedule
 from egot2x.train.state import TrainState
@@ -44,6 +45,17 @@ class PnrTaskBase(Task):
 
     def _build_model(self):
         raise NotImplementedError
+
+    def _nonlocal_cfg(self):
+        """Honor a user YAML's NONLOCAL.* group (reference
+        HOI/configs/pnr/defaults.py:259-276) — None when every stage's
+        LOCATION list is empty (the EgoT2 configs)."""
+        c = self.cfg
+        return resolve_nonlocal(
+            c.get_path("NONLOCAL.LOCATION", default=None),
+            c.get_path("NONLOCAL.GROUP", default=None),
+            c.get_path("NONLOCAL.POOL", default=None),
+            c.get_path("NONLOCAL.INSTANTIATION", default="dot_product"))
 
     def build_state(self, rng: jax.Array) -> TrainState:
         c = self.cfg
@@ -90,10 +102,14 @@ class KeyframeLocalisation(PnrTaskBase):
 
     def _build_model(self):
         c = self.cfg
+        kw = {}
+        nl = self._nonlocal_cfg()
+        if nl is not None:  # KeyframeCnnLSTM has no trunk nonlocal
+            kw["nonlocal_cfg"] = nl
         return build_model(c.get("model", "KeyframeLocalizationResNet"),
                            arch=c.get("arch", "slow_layer5"),
                            crop_size=c.get("crop_size", 225),
-                           remat=c.get("remat", False))
+                           remat=c.get("remat", False), **kw)
 
     def train_step(self, state: TrainState, batch, rng):
         use_bce = self.cfg.get("loss_func", "bce") == "bce"
@@ -162,10 +178,14 @@ class StateChangeClassification(PnrTaskBase):
 
     def _build_model(self):
         c = self.cfg
+        kw = {}
+        nl = self._nonlocal_cfg()
+        if nl is not None:
+            kw["nonlocal_cfg"] = nl
         return build_model(c.get("model", "StateChangeClsResNet"),
                            arch=c.get("arch", "slow_layer5"),
                            crop_size=c.get("crop_size", 225),
-                           remat=c.get("remat", False))
+                           remat=c.get("remat", False), **kw)
 
     def train_step(self, state: TrainState, batch, rng):
         def loss_fn(params):
@@ -212,7 +232,8 @@ class StateChangeAndKeyframeLocalisation(PnrTaskBase):
     def _build_model(self):
         c = self.cfg
         return build_model("DualHeadResNet", arch=c.get("arch", "slow_layer5"),
-                           crop_size=c.get("crop_size", 225))
+                           crop_size=c.get("crop_size", 225),
+                           nonlocal_cfg=self._nonlocal_cfg())
 
     def train_step(self, state: TrainState, batch, rng):
         c = self.cfg
