@@ -269,6 +269,14 @@ def resnet3d_rules(src_prefix: str, dst_prefix: List[str],
                                     dp + ["branch2", leaf], t_conv3d)
                 rules += _bn_rule(sp + f".branch2.{leaf}_bn",
                                   dp + ["branch2", f"{leaf}_bn"])
+            # Nonlocal block after res-block b when enabled
+            # (HOI/models/lta/resnet_helper.py:511-519 naming)
+            np_ = f"{p}s{si}.pathway{pathway}_nonlocal{b}"
+            nd = dst_prefix + [f"s{si}{pathway_suffix}", f"nonlocal{b}"]
+            for leaf in ("conv_theta", "conv_phi", "conv_g", "conv_out"):
+                rules += _conv_rule(np_ + f".{leaf}", nd + [leaf], t_conv3d,
+                                    bias=True)
+            rules += _bn_rule(np_ + ".bn", nd + ["bn"])
     return rules
 
 
@@ -581,6 +589,85 @@ def egot2g_action_rules(num_layers: int = 3, agg_layers: int = 6,
     return rules
 
 
+def egot2g_6task_rules(num_layers: int = 3, agg_layers: int = 6):
+    """Reference ``TaskTranslationPromptTransformer6Task`` state_dict
+    (HOI/models/multitask/video_model_builder.py:278-383, the unify6task
+    EgoT2-g model) → egot2x TaskTranslationPromptTransformer6Task tree:
+    both frozen ResNet3D PNR backbones, the frozen AR SlowFast with its
+    LIVE head (freeze_backbone_params spares ``head``), the frozen LTA
+    ForecastingEncoderDecoder (built with build_decoder=False — no
+    decoder keys), the five stream projections, and the 4-task prompt
+    core."""
+    rules = []
+    rules += resnet3d_rules("pnr_model", ["pnr_model", "trunk"])
+    rules += _linear_rule("pnr_model.Keyframe_localisation_head.projection",
+                          ["pnr_model", "head", "projection"])
+    rules += resnet3d_rules("oscc_model", ["oscc_model", "trunk"])
+    rules += _linear_rule("oscc_model.State_detection_head.projection",
+                          ["oscc_model", "head", "projection"])
+    rules += slowfast_rules("recognition_model", ["recognition_model"])
+    rules += _linear_rule("recognition_model.head.projection",
+                          ["recognition_head", "projection_0"])
+    rules += slowfast_rules("lta_model.backbone", ["lta_backbone", "trunk"])
+    rules += _linear_rule("lta_model.backbone.head.projection",
+                          ["lta_backbone", "head", "projection_0"])
+    rules += torch_encoder_rules("lta_model.clip_aggregator.encoder",
+                                 ["lta_aggregator", "encoder"], agg_layers)
+    rules += [
+        ("lta_model.clip_aggregator.encoder.norm.weight",
+         ("params", ["lta_aggregator", "final_ln", "scale"]), t_id),
+        ("lta_model.clip_aggregator.encoder.norm.bias",
+         ("params", ["lta_aggregator", "final_ln", "bias"]), t_id),
+        ("task_embed", ("params", ["core", "task_embed"]), t_id),
+        ("embedding.weight",
+         ("params", ["core", "embedding", "embedding"]), t_id),
+        ("ln.weight", ("params", ["core", "ln", "scale"]), t_id),
+        ("ln.bias", ("params", ["core", "ln", "bias"]), t_id),
+    ]
+    for proj in ("proj_pnr", "proj_oscc", "proj_action_slow",
+                 "proj_action_fast", "proj_lta"):
+        rules += _linear_rule(proj, [proj])
+    rules += _linear_rule("fc", ["core", "fc"])
+    rules += torch_encoder_rules("transformer_encoder",
+                                 ["core", "transformer_encoder"], num_layers)
+    rules += torch_decoder_rules("transformer_decoder",
+                                 ["core", "transformer_decoder"], num_layers)
+    return rules
+
+
+def egot2g_hhi_rules(num_layers: int = 3):
+    """Reference HHI ``TaskPromptTransformer`` (single-stream baseline)
+    and ``TaskTranslationPromptTransformer`` (3-stream EgoT2-g) share
+    one state_dict surface (HHI/models/multitask/task_prompt_model.py:
+    39-293) → egot2x tree of the same two models: frozen LAM/TTM
+    resnet18 token extractors + full TalkNet, the three 256→D stream
+    projections, and the prompt core (task_embed, shared encode-LN,
+    vocab embedding, fc head, encoder + decoder stacks). Dead torch
+    modules (LAM/TTM BiLSTMs, TTM audio encoder, sinusoidal PE buffers)
+    prune via ``partial_match_load``."""
+    rules = []
+    rules += resnet18_rules("lam_model.base_model",
+                            ["lam_model", "trunk", "base_model"])
+    rules += resnet18_rules("ttm_model.video_encoder",
+                            ["ttm_model", "trunk", "video_encoder"])
+    rules += _prefix_src(talknet_rules(["asd_model"]), "asd_model")
+    for s in ("lam", "ttm", "asd"):
+        rules += _linear_rule(f"proj_{s}", [f"proj_{s}"])
+    rules += [
+        ("task_embed", ("params", ["core", "task_embed"]), t_id),
+        ("embedding.weight",
+         ("params", ["core", "embedding", "embedding"]), t_id),
+        ("ln.weight", ("params", ["core", "ln", "scale"]), t_id),
+        ("ln.bias", ("params", ["core", "ln", "bias"]), t_id),
+    ]
+    rules += _linear_rule("fc", ["core", "fc"])
+    rules += torch_encoder_rules("transformer_encoder",
+                                 ["core", "transformer_encoder"], num_layers)
+    rules += torch_decoder_rules("transformer_decoder",
+                                 ["core", "transformer_decoder"], num_layers)
+    return rules
+
+
 def _prefix_src(rules, prefix: str):
     """Re-root a rule family's torch source keys under ``prefix.``."""
     return [(f"{prefix}.{src}", dst, transform) for src, dst, transform in rules]
@@ -738,13 +825,58 @@ FAMILIES: Dict[str, Callable[[], list]] = {
     "ts_pnr": ts_pnr_rules,
     "egot2g_2task": egot2g_2task_rules,
     "egot2g_action": egot2g_action_rules,
+    "egot2g_hhi": egot2g_hhi_rules,
+    "egot2g_6task": egot2g_6task_rules,
     "egot2s_ttm_2task": egot2s_ttm_2task_rules,
     "egot2s_ttm_3task": egot2s_ttm_rules,
 }
 
 
+def _stack_depth(state: Dict[str, np.ndarray], prefix: str) -> int:
+    """Number of ``{prefix}.layers.N.*`` layers present in a state_dict."""
+    pat = re.compile(re.escape(prefix) + r"\.layers\.(\d+)\.")
+    idx = [int(m.group(1)) for k in state if (m := pat.match(k))]
+    return max(idx) + 1 if idx else 0
+
+
+def derive_family_kwargs(state: Dict[str, np.ndarray], family: str) -> Dict[str, Any]:
+    """Derive a rule family's structural kwargs from the checkpoint
+    itself: torch serializes every encoder/decoder layer, so the layer
+    count is readable from the key space — a non-default
+    TRANSLATION_LAYERS checkpoint must not silently translate only the
+    default count (round-3 advisor finding)."""
+    import inspect
+
+    accepted = inspect.signature(FAMILIES[family]).parameters
+    kwargs: Dict[str, Any] = {}
+    if "num_layers" in accepted:
+        n = _stack_depth(state, "transformer_encoder")
+        if n:
+            kwargs["num_layers"] = n
+    if "agg_layers" in accepted:
+        n = _stack_depth(state, "lta_model.clip_aggregator.encoder")
+        if n:
+            kwargs["agg_layers"] = n
+    if "temporal" in accepted:
+        kwargs["temporal"] = any(k.startswith("proj_action_slow.")
+                                 for k in state)
+    return kwargs
+
+
 def import_torch_checkpoint(path: str, family: str) -> Dict[str, Any]:
     """Translate a reference checkpoint into {params, batch_stats, unused}."""
     state = strip_prefix(load_torch_state_dict(path))
-    rules = FAMILIES[family]()
-    return apply_rules(state, rules)
+    rules = FAMILIES[family](**derive_family_kwargs(state, family))
+    out = apply_rules(state, rules)
+    # A translated-stack layer left unused means the rules and the
+    # checkpoint disagree structurally — fail loudly, never silently
+    # drop trained layers.
+    stray = [k for k in out["unused"] if ".layers." in k and any(
+        s in k for s in ("transformer_encoder", "transformer_decoder",
+                         "clip_aggregator"))]
+    if stray:
+        raise ValueError(
+            f"{family}: {len(stray)} encoder/decoder layer tensors were "
+            f"not translated (first: {stray[0]}) — structural mismatch "
+            "between rules and checkpoint")
+    return out

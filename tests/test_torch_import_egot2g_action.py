@@ -236,3 +236,139 @@ def test_egot2g_action_full_model_forward_parity(rng):
         assert ours.shape == theirs.shape == (2, 3, V), task
         np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3,
                                    err_msg=task)
+
+
+class TorchPromptActionBase(tnn.Module):
+    """Base (non-temporal) variant (video_model_builder_action.py:21-190):
+    action tasks encode ONE with-head clip token; LTA tasks concatenate
+    per-clip action-head tokens with UNPROJECTED aggregator tokens and
+    add the learned (1, 4, D) pe — so the LTA width equals hidden_dim."""
+
+    def __init__(self):
+        super().__init__()
+        self.transformer_encoder = tnn.TransformerEncoder(
+            tnn.TransformerEncoderLayer(D, HEADS, dropout=0.1), L)
+        self.transformer_decoder = tnn.TransformerDecoder(
+            tnn.TransformerDecoderLayer(D, HEADS, dropout=0.1), L)
+        self.fc = tnn.Linear(D, V)
+        self.ln = tnn.LayerNorm(D)
+        self.task_embed = tnn.Parameter(torch.randn(1, 2, D))
+        self.pos_embed = TorchSinusoidalPE(D)
+        self.pe = tnn.Parameter(torch.randn(1, 4, D))
+        self.embedding = tnn.Embedding(V, D)
+        self.action_model = TorchSlowFastWithHead(D)
+        self.lta_model = TorchLTAModel(D)
+
+    def encode_prepare(self, x, task_id):
+        x = self.ln(x) + self.task_embed[:, task_id, :]
+        return self.pos_embed(x.permute(1, 0, 2))
+
+    def encode(self, video, task):
+        if "lta" in task:
+            n = video[0].shape[1]
+            feat_action = torch.stack(
+                [self.action_model([p[:, i] for p in video])
+                 for i in range(n)], dim=1)
+            feat_lta = self.lta_model(video, None, middle=True).transpose(0, 1)
+            feat = torch.cat((feat_action, feat_lta), dim=1)
+            x = (self.ln(feat) + self.pe).transpose(0, 1)
+        else:
+            feat_action = self.action_model(video).unsqueeze(1)
+            x = self.encode_prepare(feat_action, 0)
+        return self.transformer_encoder(x)
+
+    def forward(self, video, target, task):
+        encoded = self.encode(video, task)
+        sy = target.size(1)
+        y = self.embedding(target.permute(1, 0)) * math.sqrt(D)
+        y = self.pos_embed(y)
+        mask = torch.triu(torch.full((sy, sy), float("-inf")), diagonal=1)
+        out = self.transformer_decoder(y, encoded, mask)
+        return self.fc(out)
+
+
+def test_egot2g_action_base_variant_forward_parity(rng):
+    """Round-3 advisor: the temporal=False branch (learned pe +
+    unprojected LTA tokens, hidden_dim == feature_dim) had no numeric
+    golden."""
+    from egot2x.core.registry import build_model
+    import egot2x.translate.egot2g  # noqa: F401
+    import flax.core
+
+    tmodel = TorchPromptActionBase()
+    _randomize_bn(tmodel, rng)
+    tmodel.eval()
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    model = build_model("TaskTranslationPromptTransformerActionTask",
+                        vocab_size=V, hidden_dim=D, num_heads=HEADS,
+                        num_layers=L, alpha=ALPHA, beta_inv=8,
+                        feature_dim=D, temporal=False)
+    t_slow = T_FAST // ALPHA
+    slow = rng.uniform(-1, 1, (2, t_slow, S_ACT, S_ACT, 3)).astype(np.float32)
+    fast = rng.uniform(-1, 1, (2, T_FAST, S_ACT, S_ACT, 3)).astype(np.float32)
+    slow_n = rng.uniform(
+        -1, 1, (2, N_CLIPS, t_slow, S_ACT, S_ACT, 3)).astype(np.float32)
+    fast_n = rng.uniform(
+        -1, 1, (2, N_CLIPS, T_FAST, S_ACT, S_ACT, 3)).astype(np.float32)
+    target = rng.integers(0, V, (2, 3))
+
+    v_act = model.init(jax.random.key(0), None,
+                       [jnp.asarray(slow), jnp.asarray(fast)],
+                       jnp.asarray(target), "action_verb", train=False)
+    v_lta = model.init(jax.random.key(0), None,
+                       [jnp.asarray(slow_n), jnp.asarray(fast_n)],
+                       jnp.asarray(target), "lta_verb", train=False)
+    init_vars = _merge(flax.core.unfreeze(dict(v_act)),
+                       flax.core.unfreeze(dict(v_lta)))
+
+    translated = partial_match_load(
+        state, egot2g_action_rules(num_layers=L, agg_layers=AGG_L,
+                                   temporal=False),
+        tree_paths(init_vars))
+    leftovers = [k for k in translated["unused"]
+                 if "num_batches_tracked" not in k
+                 and not k.endswith("pos_embed.pe")
+                 and not k.endswith("pos_encoder.pe")
+                 and not k.startswith("lta_model.decoder.")]
+    assert leftovers == [], leftovers
+    for coll in ("params", "batch_stats"):
+        a = sorted(jax.tree_util.keystr(p) for p, _ in
+                   jax.tree_util.tree_leaves_with_path(init_vars[coll]))
+        b = sorted(jax.tree_util.keystr(p) for p, _ in
+                   jax.tree_util.tree_leaves_with_path(translated[coll]))
+        assert a == b, set(a) ^ set(b)
+
+    variables = {"params": translated["params"],
+                 "batch_stats": translated["batch_stats"]}
+    for task, pathways in (("action_verb", [slow, fast]),
+                           ("lta_verb", [slow_n, fast_n])):
+        ours = np.asarray(model.apply(
+            variables, None, [jnp.asarray(p) for p in pathways],
+            jnp.asarray(target), task, train=False))
+        with torch.no_grad():
+            perm = (0, 1, 5, 2, 3, 4) if "lta" in task else (0, 4, 1, 2, 3)
+            theirs = tmodel([torch.from_numpy(p).permute(*perm)
+                             for p in pathways],
+                            torch.from_numpy(target), task)
+        theirs = theirs.permute(1, 0, 2).numpy()
+        assert ours.shape == theirs.shape == (2, 3, V), task
+        np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3,
+                                   err_msg=task)
+
+
+def test_derive_family_kwargs_from_state_dict():
+    """Layer counts and the temporal flag come from the checkpoint keys,
+    not the rule defaults (round-3 advisor finding)."""
+    from egot2x.core.torch_import import derive_family_kwargs
+
+    tmodel = TorchPromptActionBase()
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    kw = derive_family_kwargs(state, "egot2g_action")
+    assert kw == {"num_layers": L, "agg_layers": AGG_L, "temporal": False}
+
+    tmodel_t = TorchPromptAction()
+    state_t = {k: v.detach().numpy()
+               for k, v in tmodel_t.state_dict().items()}
+    kw_t = derive_family_kwargs(state_t, "egot2g_action")
+    assert kw_t == {"num_layers": L, "agg_layers": AGG_L, "temporal": True}
