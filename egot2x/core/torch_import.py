@@ -508,6 +508,73 @@ def ts_pnr_rules(num_layers: int = 1):
     return rules
 
 
+def _lta_translator_common(num_layers: int, agg_layers: int,
+                           num_actions: int):
+    """Streams shared by the LTA-target translators
+    (lta_models_lta_transfer.py): frozen AR SlowFast with live head,
+    frozen LTA ForecastingEncoderDecoder, the (pe, ln, transformer)
+    fusion core, and the Z-action MultiTaskHead decode."""
+    rules = []
+    rules += slowfast_rules("action_model", ["action_model"])
+    rules += _linear_rule("action_model.head.projection",
+                          ["action_head", "projection_0"])
+    rules += slowfast_rules("lta_model.backbone",
+                            ["lta_model", "backbone", "trunk"])
+    rules += _linear_rule("lta_model.backbone.head.projection",
+                          ["lta_model", "backbone", "head", "projection_0"])
+    rules += torch_encoder_rules("lta_model.clip_aggregator.encoder",
+                                 ["lta_model", "clip_aggregator", "encoder"],
+                                 agg_layers)
+    rules += [
+        ("lta_model.clip_aggregator.encoder.norm.weight",
+         ("params", ["lta_model", "clip_aggregator", "final_ln", "scale"]),
+         t_id),
+        ("lta_model.clip_aggregator.encoder.norm.bias",
+         ("params", ["lta_model", "clip_aggregator", "final_ln", "bias"]),
+         t_id),
+        ("pe", ("params", ["core", "pe"]), t_id),
+        ("ln.weight", ("params", ["core", "ln", "scale"]), t_id),
+        ("ln.bias", ("params", ["core", "ln", "bias"]), t_id),
+    ]
+    rules += torch_encoder_rules("transformer", ["core", "transformer"],
+                                 num_layers)
+    for z in range(num_actions):
+        rules += _linear_rule(f"head.projections.{z}",
+                              ["decoder", f"head_{z}"])
+    return rules
+
+
+def egot2s_lta2task_rules(num_layers: int = 1, agg_layers: int = 6,
+                          num_actions: int = 20):
+    """Reference LTA-target ``TaskFusionMFTransformer2Task`` state_dict
+    (HOI/models/lta/lta_models_lta_transfer.py:429-526) → egot2x
+    ``TaskFusionMFTransformer2TaskLTA`` tree. ``proj_lta`` exists only
+    when TRANSLATION_INPUT_FEATURES != 2048 (reference :438-440 uses
+    Identity otherwise) — neither side constructs it at the published
+    config."""
+    return _lta_translator_common(num_layers, agg_layers, num_actions)
+
+
+def egot2s_lta4task_rules(num_layers: int = 1, agg_layers: int = 6,
+                          num_actions: int = 20):
+    """Reference ``TaskFusionMFTransformerLTA4Task`` state_dict
+    (HOI/models/lta/lta_models_lta_transfer.py:257-377) → egot2x
+    ``TaskFusionMFTransformerLTA4Task`` tree: adds the frozen PNR/OSCC
+    backbones and the three stream projections on top of the 2-task
+    surface. The LTA decoder (build_decoder=True but dead under
+    middle=True) prunes via ``partial_match_load``."""
+    rules = _lta_translator_common(num_layers, agg_layers, num_actions)
+    rules += resnet3d_rules("pnr_model", ["pnr_model", "trunk"])
+    rules += _linear_rule("pnr_model.Keyframe_localisation_head.projection",
+                          ["pnr_model", "head", "projection"])
+    rules += resnet3d_rules("oscc_model", ["oscc_model", "trunk"])
+    rules += _linear_rule("oscc_model.State_detection_head.projection",
+                          ["oscc_model", "head", "projection"])
+    for proj in ("proj_pnr", "proj_oscc", "proj_lta"):
+        rules += _linear_rule(proj, [proj])
+    return rules
+
+
 def egot2g_2task_rules(num_layers: int = 3):
     """Reference ``TaskTranslationPromptTransformer2Task`` state_dict
     (HOI/models/multitask/video_model_builder_2task.py:51-166, the

@@ -137,6 +137,11 @@ class _TokenFusionCore(nn.Module):
     num_layers: int = 3
     dropout: float = 0.1
     ff_multiplier: int = 2
+    # explicit FF width override: the reference LTA translators leave
+    # torch's dim_feedforward at its fixed default 2048
+    # (lta_models_lta_transfer.py:445-448) — a multiplier cannot express
+    # that at feature_dim 2048
+    ff_dim: Optional[int] = None
     norm_pooled: bool = False
     dtype: Dtype = jnp.float32
 
@@ -148,7 +153,8 @@ class _TokenFusionCore(nn.Module):
         x = ln(tokens) + pe
         x = TransformerEncoder(
             self.num_layers, self.feature_dim, self.num_heads,
-            dim_feedforward=self.feature_dim * self.ff_multiplier,
+            dim_feedforward=(self.ff_dim if self.ff_dim is not None
+                             else self.feature_dim * self.ff_multiplier),
             dropout=self.dropout, dtype=self.dtype, name="transformer",
         )(x, deterministic=deterministic)
         pooled = x.mean(axis=1)
@@ -273,6 +279,7 @@ class TaskFusionMFTransformer2TaskLTA(_HOIStreamMixin):
     num_actions: int = 20
     num_input_clips: int = 2
     feature_dim: int = 2048
+    lta_dim: int = 2048  # the LTA backbone/aggregator native width
     num_layers: int = 1
     num_heads: int = 8
     dropout: float = 0.1
@@ -282,17 +289,23 @@ class TaskFusionMFTransformer2TaskLTA(_HOIStreamMixin):
                                      dtype=self.dtype)
         self.action_head = MultiTaskHead((self.feature_dim,), 0.5, act="none",
                                          dtype=self.dtype)
-        self.lta_model = _FrozenLtaEncoder(self.feature_dim, self.alpha,
+        self.lta_model = _FrozenLtaEncoder(self.lta_dim, self.alpha,
                                            self.beta_inv, dtype=self.dtype)
+        # proj_lta is Identity at matching widths (reference :438-440)
+        if self.feature_dim != self.lta_dim:
+            self.proj_lta = nn.Dense(self.feature_dim, dtype=self.dtype)
+        # torch-default FF width 2048 (lta_models_lta_transfer.py:445)
         self.core = _TokenFusionCore(
             self.num_input_clips * 2, self.feature_dim, self.num_heads,
-            self.num_layers, self.dropout, dtype=self.dtype)
+            self.num_layers, self.dropout, ff_dim=2048, dtype=self.dtype)
         self.decoder = _LtaDecode(self.num_classes, self.num_actions,
                                   dtype=self.dtype)
 
     def __call__(self, pathways, tgts=None, train: bool = False):
         feat_action = self._encode_action_clips(pathways, train)
         feat_lta = self._freeze(self.lta_model(pathways))
+        if self.feature_dim != self.lta_dim:
+            feat_lta = self.proj_lta(feat_lta)
         tokens = jnp.concatenate([feat_action, feat_lta], axis=1)
         pooled = self.core(tokens, deterministic=not train)
         return self.decoder(pooled, train=train)
@@ -331,6 +344,7 @@ class TaskFusionMFTransformerLTA4Task(_HOIStreamMixin):
     num_actions: int = 20
     num_input_clips: int = 2
     feature_dim: int = 2048
+    lta_dim: int = 2048  # the LTA backbone/aggregator native width
     num_layers: int = 1
     num_heads: int = 8
     dropout: float = 0.1
@@ -344,13 +358,18 @@ class TaskFusionMFTransformerLTA4Task(_HOIStreamMixin):
                                      dtype=self.dtype)
         self.action_head = MultiTaskHead((self.feature_dim,), 0.5, act="none",
                                          dtype=self.dtype)
-        self.lta_model = _FrozenLtaEncoder(self.feature_dim, self.alpha,
+        # the LTA backbone/aggregator is always 2048-wide; the 4-task
+        # translator ALWAYS projects its tokens (reference :271), unlike
+        # the 2-task variant's Identity-at-2048
+        self.lta_model = _FrozenLtaEncoder(self.lta_dim, self.alpha,
                                            self.beta_inv, dtype=self.dtype)
         self.proj_pnr = nn.Dense(self.feature_dim, dtype=self.dtype)
         self.proj_oscc = nn.Dense(self.feature_dim, dtype=self.dtype)
+        self.proj_lta = nn.Dense(self.feature_dim, dtype=self.dtype)
+        # torch-default FF width 2048 (lta_models_lta_transfer.py:273-275)
         self.core = _TokenFusionCore(
             self.num_input_clips * 4, self.feature_dim, self.num_heads,
-            self.num_layers, self.dropout, dtype=self.dtype)
+            self.num_layers, self.dropout, ff_dim=2048, dtype=self.dtype)
         self.decoder = _LtaDecode(self.num_classes, self.num_actions,
                                   dtype=self.dtype)
 
@@ -358,7 +377,7 @@ class TaskFusionMFTransformerLTA4Task(_HOIStreamMixin):
         feat_pnr = self.proj_pnr(self._encode_clips_pnr(self.pnr_model, frames_pnr))
         feat_oscc = self.proj_oscc(self._encode_clips_pnr(self.oscc_model, frames_pnr))
         feat_action = self._encode_action_clips(pathways, train)
-        feat_lta = self._freeze(self.lta_model(pathways))
+        feat_lta = self.proj_lta(self._freeze(self.lta_model(pathways)))
         tokens = jnp.concatenate([feat_pnr, feat_oscc, feat_action, feat_lta], axis=1)
         pooled = self.core(tokens, deterministic=not train)
         return self.decoder(pooled, train=train)
