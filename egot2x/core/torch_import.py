@@ -785,6 +785,20 @@ def egot2s_ttm_2task_rules(num_layers: int = 1):
     return egot2s_ttm_rules(2, num_layers)
 
 
+def egot2s_asd3task_rules(num_layers: int = 3):
+    """Reference ASD-target ``TaskFusionMFTransformer3Task`` state_dict
+    (HHI/models/asd/model_taskspecific.py:110-160) → egot2x
+    ``TaskFusionMFTransformer3TaskASD`` tree. Same surface as the TTM
+    flagship except the unused ``linear_head`` (the frame-level
+    translator returns features for the external lossAV head; the
+    flax model builds no head) — its keys prune via
+    ``partial_match_load``."""
+    rules = egot2s_ttm_rules(3, num_layers)
+    head_keys = {"linear_head.0.weight", "linear_head.0.bias",
+                 "linear_head.1.weight", "linear_head.1.bias"}
+    return [r for r in rules if r[0] not in head_keys]
+
+
 # ---- caffe2 / partial-match loaders -------------------------------------
 
 _C2_PAIRS = [
@@ -896,6 +910,9 @@ FAMILIES: Dict[str, Callable[[], list]] = {
     "egot2g_6task": egot2g_6task_rules,
     "egot2s_ttm_2task": egot2s_ttm_2task_rules,
     "egot2s_ttm_3task": egot2s_ttm_rules,
+    "egot2s_asd_3task": egot2s_asd3task_rules,
+    "egot2s_lta_2task": egot2s_lta2task_rules,
+    "egot2s_lta_4task": egot2s_lta4task_rules,
 }
 
 
@@ -917,13 +934,19 @@ def derive_family_kwargs(state: Dict[str, np.ndarray], family: str) -> Dict[str,
     accepted = inspect.signature(FAMILIES[family]).parameters
     kwargs: Dict[str, Any] = {}
     if "num_layers" in accepted:
-        n = _stack_depth(state, "transformer_encoder")
+        n = (_stack_depth(state, "transformer_encoder")
+             or _stack_depth(state, "transformer"))
         if n:
             kwargs["num_layers"] = n
     if "agg_layers" in accepted:
         n = _stack_depth(state, "lta_model.clip_aggregator.encoder")
         if n:
             kwargs["agg_layers"] = n
+    if "num_actions" in accepted:
+        pat = re.compile(r"head\.projections\.(\d+)\.weight$")
+        idx = [int(m.group(1)) for k in state if (m := pat.match(k))]
+        if idx:
+            kwargs["num_actions"] = max(idx) + 1
     if "temporal" in accepted:
         kwargs["temporal"] = any(k.startswith("proj_action_slow.")
                                  for k in state)

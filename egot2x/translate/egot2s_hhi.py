@@ -93,7 +93,12 @@ class _MFTransformerCore(nn.Module):
 
     @nn.compact
     def __call__(self, streams, deterministic: bool = True):
-        """streams: list of (name, (B, T_i, 256)) in concat order."""
+        """streams: list of (name, task_id, (B, T_i, 256)) in concat
+        order. task_id indexes ``task_embed`` and is FIXED per stream
+        (ttm=0, lam=1, asd=2 in the reference), independent of concat
+        position — the ASD-target variant concatenates asd FIRST while
+        keeping its task embedding at index 2
+        (asd/model_taskspecific.py:149-155)."""
         ln = nn.LayerNorm(dtype=self.dtype, name="ln")
         task_embed = self.param(
             "task_embed", nn.initializers.normal(1.0),
@@ -102,7 +107,7 @@ class _MFTransformerCore(nn.Module):
         pos = PositionalEncoding(self.hidden_dim, dropout=0.1, max_len=1000,
                                  name="pos_embed")
         prepared = []
-        for task_id, (name, x) in enumerate(streams):
+        for name, task_id, x in streams:
             proj = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"proj_{name}")(x)
             prepared.append(
                 _encode_prepare(proj, ln, task_embed, task_id, pos, deterministic)
@@ -136,7 +141,8 @@ class TaskFusionMFTransformer2Task(_FusionBase):
         out = _MFTransformerCore(
             2, self.hidden_dim, self.num_heads, self.num_layers, self.dropout,
             dtype=self.dtype, name="core",
-        )([("ttm", ttm_out), ("lam", lam_out)], deterministic=deterministic)
+        )([("ttm", 0, ttm_out), ("lam", 1, lam_out)],
+          deterministic=deterministic)
         pooled = out.mean(axis=1)
         pooled = nn.LayerNorm(dtype=self.dtype, name="head_ln")(pooled)
         return nn.Dense(2, dtype=self.dtype, name="head_fc")(pooled)
@@ -167,7 +173,7 @@ class TaskFusionMFTransformer3Task(_FusionBase):
         out = _MFTransformerCore(
             3, self.hidden_dim, self.num_heads, self.num_layers, self.dropout,
             dtype=self.dtype, name="core",
-        )([("ttm", ttm_out), ("lam", lam_out), ("asd", asd_out)],
+        )([("ttm", 0, ttm_out), ("lam", 1, lam_out), ("asd", 2, asd_out)],
           deterministic=deterministic)
         pooled = out.mean(axis=1)
         pooled = nn.LayerNorm(dtype=self.dtype, name="head_ln")(pooled)
@@ -195,7 +201,7 @@ class TaskFusionMFTransformer3TaskASD(_FusionBase):
         out = _MFTransformerCore(
             3, self.hidden_dim, self.num_heads, self.num_layers, self.dropout,
             dtype=self.dtype, name="core",
-        )([("asd", asd_out), ("ttm", ttm_out), ("lam", lam_out)],
+        )([("asd", 2, asd_out), ("ttm", 0, ttm_out), ("lam", 1, lam_out)],
           deterministic=deterministic)
         return out[:, :t_asd, :].reshape(n * t_asd, self.hidden_dim)
 
