@@ -40,14 +40,18 @@ def main():
     model = build_model("TaskFusionMFTransformer3Task", hidden_dim=128,
                         num_layers=1, quant=True, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    # video streams ship as RAW uint8 (the pipeline's device format,
-    # tools/bench_e2e.py): 1/4 the input HBM reads and host->device
-    # bytes. The stems FOLD the normalization affine into their conv
-    # weights (nn/resnet2d.py _StemConv, nn/talknet.py _Stem3DConv),
-    # so no normalized copy of the frames is ever materialized — the
-    # fanned-out RGB stream is read as uint8 by both trunks.
+    # Device-only bench feed: HOST-NORMALIZED f32 — measured fastest on
+    # the full flagship (round 4, idle chip, b160):
+    #   f32 feed                      702.8 clips/s
+    #   u8 feed, norm-folded stems    685.4
+    #   u8 feed, in-jit bf16 affine   683.0
+    # The two-stem microbench (tools/exp_two_stem_u8.py) ranks the u8
+    # affine FIRST in isolation (61.7 vs 65.3 ms), so the u8 loss is a
+    # whole-graph layout/fusion effect, not stem-local. The u8 feed
+    # remains the PIPELINE format (4x fewer host->device bytes,
+    # tools/bench_e2e.py); the stems accept either.
     import os as _os
-    _feed = _os.environ.get("BENCH_FEED", "u8")  # u8 | f32 | rgb_f32 | asd_f32
+    _feed = _os.environ.get("BENCH_FEED", "f32")  # f32 | u8 | rgb_f32 | asd_f32
     rgb_u8 = rng.integers(0, 256, (BATCH, T, IMG, IMG, 3))
     asd_u8 = rng.integers(0, 256, (BATCH, T, 112, 112))
     if _feed in ("f32", "rgb_f32"):
@@ -158,8 +162,8 @@ def main():
         "v4_8_aggregate_clips_per_sec": round(clips_per_sec * 8, 1),
         "v4_8_vs_5x_north_star": round(clips_per_sec * 8 / 5000.0, 3),
         "config": "bf16 + int8 static-PTQ conv trunks (int8-before-pool, "
-                  "block-chained int8 activations), packed stem, raw-uint8 "
-                  f"video feed with norm-folded stem convs, batch {BATCH}",
+                  "block-chained int8 activations), packed stem, "
+                  f"{_feed} video feed, batch {BATCH}",
     }))
 
 

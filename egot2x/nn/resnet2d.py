@@ -37,20 +37,35 @@ def normalize_u8_frames(x: jax.Array, dtype=jnp.float32) -> jax.Array:
 
     No-op on float input (already host-normalized). This is the
     reference expression (HHI/utils/lam/utils.py:16-21) and the parity
-    oracle for the uint8 feed (tests/test_u8_input.py). The MODEL path
-    no longer calls it: :class:`ResNet2D` folds the same affine into
-    its stem conv weights (``_StemConv(fold_norm=True)``), which is
-    exact and never materializes a normalized copy of the frames — an
-    explicit normalize materializes one (XLA:TPU does not fuse
-    elementwise producers into conv reads; an f32 materialization
-    measured 701 → 678 clips/s on the flagship bench, and even the
-    bf16 variant pays a full write + 2-trunk re-read of the frames).
+    oracle for the uint8 feed (tests/test_u8_input.py).
     """
     if not jnp.issubdtype(x.dtype, jnp.integer):
         return x
     mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(_IMAGENET_STD, jnp.float32)
     return ((x.astype(jnp.float32) / 255.0 - mean) / std).astype(dtype)
+
+
+def stem_norm_mode() -> str:
+    """How stems consume RAW integer frames (the uint8 device feed):
+
+    * ``affine`` (default): cast + normalize in the compute dtype right
+      before the stem conv. XLA CSEs the identical expression across
+      the two RGB trunks, so the frames materialize ONCE in bf16 (half
+      the f32 feed's bytes). Measured fastest on v5e — the two-stem
+      experiment (tools/exp_two_stem_u8.py, b160): 61.7 ms vs 65.3 (f32
+      feed) vs 72.8 (fold) — because XLA:TPU does not fuse the u8→bf16
+      convert into the conv's input read, so the fold pays a private
+      convert per trunk PLUS the border-correction map add.
+    * ``fold``: fold the affine into the conv weights + a batch-1
+      border-correction conv (round-3 design, kept for measurement and
+      for hardware where the convert does fuse).
+
+    Read at trace time from ``EGOT2X_STEM_NORM``.
+    """
+    import os
+
+    return os.environ.get("EGOT2X_STEM_NORM", "affine")
 
 
 class BasicBlock2D(nn.Module):
@@ -183,6 +198,8 @@ class _StemConv(nn.Module):
                 window_strides=(2, 2), padding=[(3, 3), (3, 3)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.fold_norm:
+            if stem_norm_mode() == "affine":
+                return conv(normalize_u8_frames(x, self.dtype), kernel)
             mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
             std = jnp.asarray(_IMAGENET_STD, jnp.float32)
             k_eff = kernel / (255.0 * std)[None, None, :, None]
@@ -218,9 +235,9 @@ class ResNet2D(nn.Module):
         # FLOAT even under quant: with C_in=3 the contraction depth (147)
         # starves the int8 MXU and measured int8 is not faster there —
         # the win comes from the 64-512 channel stage convs. Integer
-        # (raw uint8) input takes the norm-folded stem: the
-        # ToTensor+Normalize affine rides the conv weights (exact, see
-        # _StemConv), so no normalized copy of the frames ever hits HBM.
+        # (raw uint8) input is normalized per stem_norm_mode(): the
+        # default in-jit bf16 affine (CSE-shared across trunks) or the
+        # norm-folded conv weights (see _StemConv).
         y = _StemConv(self.width, self.fused_stem,
                       fold_norm=jnp.issubdtype(x.dtype, jnp.integer),
                       dtype=self.dtype, name="conv1")(x)

@@ -202,12 +202,15 @@ class VisualFrontend(nn.Module):
                  calibrate: bool = False) -> jax.Array:
         b, t, h, w = x.shape
         # TalkNet input normalization (talkNetModel.py:41). Integer (raw
-        # uint8) input folds the scalar affine into the stem conv
-        # (_Stem3DConv fold_norm): the frames are read from HBM as uint8
-        # with NO normalized intermediate. Float input keeps the
-        # explicit normalize, computed in the compute dtype.
+        # uint8) input is handled per stem_norm_mode(): the default
+        # in-jit affine in the compute dtype, or the norm-folded stem
+        # conv (_Stem3DConv fold_norm). Float input keeps the explicit
+        # normalize, computed in the compute dtype.
+        from egot2x.nn.resnet2d import stem_norm_mode
+
         fold = None
-        if jnp.issubdtype(x.dtype, jnp.integer):
+        if (jnp.issubdtype(x.dtype, jnp.integer)
+                and stem_norm_mode() == "fold"):
             fold = (1.0 / (255.0 * 0.1688), -0.4161 / 0.1688)
             x = x.astype(self.dtype)
         else:
