@@ -47,6 +47,8 @@ def build_argparser():
     p.add_argument("--num_input_clips", type=int, default=2)
     p.add_argument("--num_actions", type=int, default=20)
     p.add_argument("--num_sequences_to_predict", type=int, default=5)
+    # reference LOG_GRADIENT_PERIOD (recognition defaults.py:526; -1=off)
+    p.add_argument("--log_gradient_period", type=int, default=-1)
     p.add_argument("--aggregator", type=str, default="TransformerAggregator")
     p.add_argument("--model", type=str, default=None,
                    help="override the task's default backbone/model, e.g. "
@@ -121,6 +123,7 @@ def main(argv=None):
         fast_dev_run=cfg.fast_dev_run,
         default_root_dir=os.path.join("logs", "lta", cfg.output_dir),
         seed=cfg.seed,
+        log_gradient_period=max(cfg.get("log_gradient_period", -1), 0),
     )
     state = trainer.fit(state=None)
     metrics = trainer.validate(state)

@@ -120,6 +120,7 @@ def recognition_schema() -> Config:
         "CHECKPOINT_FILE_PATH": "", "CHECKPOINT_FILE_PATH_AR": "",
         "CHECKPOINT_FILE_PATH_LTA": "", "CHECKPOINT_VERSION": "",
         "CHECKPOINT_LOAD_MODEL_HEAD": False,
+        "LOG_GRADIENT_PERIOD": -1,  # recognition defaults.py:526
     })
     return cfg
 
@@ -171,6 +172,7 @@ RECOGNITION_FLAT_MAP: Dict[str, str] = {
     "CHECKPOINT_FILE_PATH": "ckpt",
     "CHECKPOINT_FILE_PATH_AR": "ckpt_ar",
     "CHECKPOINT_FILE_PATH_LTA": "ckpt_lta",
+    "LOG_GRADIENT_PERIOD": "log_gradient_period",
 }
 
 

@@ -27,6 +27,13 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Debug capture of the last step's raw gradients (the reference's
+    # LOG_GRADIENT_PERIOD hook, HOI/tasks/lta/video_task.py:112-125).
+    # None = off (no cost). The Trainer enables it by seeding a
+    # params-shaped tree (``Trainer(log_gradient_period=N)``); the
+    # structure check is static under jit, and the cost when on is one
+    # extra params-sized HBM buffer carried in the state.
+    grad_stats: Any = None
 
     def variables(self) -> Dict[str, Any]:
         """Assemble the flax variables dict for apply()."""
@@ -41,7 +48,9 @@ class TrainState(struct.PyTreeNode):
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
-        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
+        new_stats = grads if self.grad_stats is not None else None
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state, grad_stats=new_stats)
 
     @classmethod
     def create(cls, apply_fn, params, tx, frozen=None, batch_stats=None):

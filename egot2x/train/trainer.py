@@ -101,6 +101,7 @@ class Trainer:
         seed: int = 0,
         model_parallel: bool = False,
         precise_bn_batches: int = 0,
+        log_gradient_period: int = 0,
     ):
         self.task = task
         self.max_epochs = max_epochs
@@ -128,6 +129,13 @@ class Trainer:
         # recompute exact BN statistics over N train batches before each
         # validation (reference BN.USE_PRECISE_STATS, misc.py:135-192)
         self.precise_bn_batches = precise_bn_batches
+        # every N steps, fetch the captured raw gradients and log
+        # histograms (reference LOG_GRADIENT_PERIOD hook,
+        # HOI/tasks/lta/video_task.py:112-125). 0 = off. Cost when on:
+        # one params-sized HBM buffer in the state plus a host fetch of
+        # the full gradient tree on logging steps.
+        self.log_gradient_period = log_gradient_period
+        self.grad_history = []
         self._train_step = jax.jit(task.train_step, donate_argnums=0)
         self._eval_step = jax.jit(task.eval_step)
         self.ckpt: Optional[CheckpointManager] = None
@@ -188,6 +196,11 @@ class Trainer:
             with open(os.path.join(resume_from, "last.json")) as f:
                 start_epoch = json.load(f)["epoch"] + 1
             logger.info(f"resumed from {resume_from} at epoch {start_epoch}")
+        if self.log_gradient_period > 0 and state.grad_stats is None:
+            # seed a params-shaped capture buffer: apply_gradients fills
+            # it with the step's raw grads (structure-static under jit)
+            state = state.replace(grad_stats=jax.tree_util.tree_map(
+                lambda p: np.zeros_like(p), state.params))
         # explicit placement on the mesh: TP-shard wide translator
         # kernels when model_parallel, else replicate everything
         state = shard_train_state(state, self.mesh, self.model_parallel)
@@ -205,6 +218,9 @@ class Trainer:
                 dev_batch = self._device_batch(batch)
                 state, metrics = self._train_step(state, dev_batch, step_rng)
                 n_seen += 1
+                if (self.log_gradient_period
+                        and i % self.log_gradient_period == 0):
+                    self._log_gradients(epoch, i, state)
                 if i % self.log_every == 0:
                     if pending_log is not None:
                         j, m = pending_log
@@ -226,6 +242,18 @@ class Trainer:
             if not self.fast_dev_run:
                 self.ckpt.save(state, epoch, val_metrics)
         return state
+
+    def _log_gradients(self, epoch: int, step: int, state) -> None:
+        """Fetch the captured grads and record histograms + norms."""
+        from egot2x.utils.profiling import grad_histograms
+
+        hists = grad_histograms(jax.device_get(state.grad_stats))
+        gnorm = float(np.sqrt(sum(h["norm"] ** 2 for h in hists.values())))
+        self.grad_history.append(
+            {"epoch": epoch, "step": step, "global_norm": gnorm,
+             "leaves": hists})
+        logger.info(f"epoch {epoch} step {step} grad_norm {gnorm:.4e} "
+                    f"({len(hists)} leaves)")
 
     def _run_precise_bn(self, state):
         """Recompute exact BN running stats over N train batches

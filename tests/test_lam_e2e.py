@@ -191,3 +191,34 @@ def test_strip_preprocessing_roundtrip(lam_root):
     assert a.shape == b.shape
     # normalized-space tolerance for jpeg recompression
     assert np.abs(a - b).mean() < 0.2
+
+
+def test_trainer_gradient_histogram_hook(lam_root, tmp_path):
+    """log_gradient_period captures raw grads through apply_gradients
+    and records per-leaf histograms + a global norm (reference
+    LOG_GRADIENT_PERIOD hook, HOI/tasks/lta/video_task.py:112-125)."""
+    from egot2x.tasks.lam import LookingAtMe
+    from egot2x.train.trainer import Trainer
+
+    cfg = small_cfg(lam_root)
+    cfg.batch_size = 8
+    task = LookingAtMe(cfg)
+    trainer = Trainer(task, max_epochs=1, fast_dev_run=True,
+                      default_root_dir=str(tmp_path / "logs"), log_every=1,
+                      log_gradient_period=1)
+    state = trainer.fit()
+    assert state.grad_stats is not None
+    assert len(trainer.grad_history) >= 1
+    rec = trainer.grad_history[0]
+    assert rec["global_norm"] > 0.0
+    n_param_leaves = len(jax.tree_util.tree_leaves(state.params))
+    assert len(rec["leaves"]) == n_param_leaves
+    some = next(iter(rec["leaves"].values()))
+    assert len(some["hist"]) == 20 and some["norm"] >= 0.0
+    # off by default: no capture buffer, no history
+    task2 = LookingAtMe(cfg)
+    trainer2 = Trainer(task2, max_epochs=1, fast_dev_run=True,
+                       default_root_dir=str(tmp_path / "logs2"), log_every=1)
+    state2 = trainer2.fit()
+    assert state2.grad_stats is None
+    assert trainer2.grad_history == []
