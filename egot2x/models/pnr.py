@@ -47,16 +47,19 @@ class KeyframeLocalizationResNet(nn.Module):
     dropout_rate: float = 0.5
     remat: bool = False
     nonlocal_cfg: Any = None
+    quant: bool = False  # int8 static-PTQ stage convs (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, frames, train: bool = False, middle: bool = False):
+    def __call__(self, frames, train: bool = False, middle: bool = False,
+                 calibrate: bool = False):
         # input_norm=None: the PNR pipeline feeds RAW [0,255] pixels
         # (reference FixedSegLabelledDataset has no Normalize); a uint8
         # feed is cast only, never ImageNet/Ego4D-normalized
         y = ResNet3D(arch=self.arch, depth=self.depth, remat=self.remat,
                      input_norm=None, nonlocal_cfg=self.nonlocal_cfg,
-                     dtype=self.dtype, name="trunk")(frames, train=train)
+                     quant=self.quant, dtype=self.dtype,
+                     name="trunk")(frames, train=train, calibrate=calibrate)
         return KeyframeLocalizationHead(
             num_classes=self.num_classes,
             spatial_pool=_head_spatial_pool(self.crop_size, self.arch),
@@ -84,16 +87,19 @@ class StateChangeClsResNet(nn.Module):
     dropout_rate: float = 0.5
     remat: bool = False
     nonlocal_cfg: Any = None
+    quant: bool = False  # int8 static-PTQ stage convs (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, frames, train: bool = False, middle: bool = False):
+    def __call__(self, frames, train: bool = False, middle: bool = False,
+                 calibrate: bool = False):
         # input_norm=None: the PNR pipeline feeds RAW [0,255] pixels
         # (reference FixedSegLabelledDataset has no Normalize); a uint8
         # feed is cast only, never ImageNet/Ego4D-normalized
         y = ResNet3D(arch=self.arch, depth=self.depth, remat=self.remat,
                      input_norm=None, nonlocal_cfg=self.nonlocal_cfg,
-                     dtype=self.dtype, name="trunk")(frames, train=train)
+                     quant=self.quant, dtype=self.dtype,
+                     name="trunk")(frames, train=train, calibrate=calibrate)
         t_pool = 1 if self.no_temp_pool else y.shape[1]
         out = KeyframeLocalizationHead(
             num_classes=self.num_classes,

@@ -108,6 +108,55 @@ class QuantConv(nn.Module):
         return y
 
 
+class QuantConv3D(nn.Module):
+    """Drop-in 3-D conv (NTHWC/THWIO) with the int8 static-PTQ inference
+    mode of :class:`QuantConv`. Parameter layout matches the float convs
+    in ``nn.resnet3d`` (one ``kernel`` under this module's scope), so
+    torch-import rules and float checkpoints apply unchanged. The HOI
+    trunks (ResNet3D / SlowFast) are the heaviest FLOPs/clip in the
+    framework, and their bottleneck convs carry the same 64-2048 channel
+    depths that measured 1.4-1.6x faster in int8 on the 2-D trunks."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: Any = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, calibrate: bool = False) -> jax.Array:
+        kt, kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kt, kh, kw, x.shape[-1], self.features),
+                            jnp.float32)
+        act_max = self.variable("quant", "act_max",
+                                lambda: jnp.zeros((), jnp.float32))
+        pad = self.padding
+        padding = pad if isinstance(pad, str) else [tuple(p) for p in pad]
+        dn = ("NTHWC", "THWIO", "NTHWC")
+        dil = self.kernel_dilation
+        if calibrate or self.is_initializing():
+            if not self.is_initializing():
+                act_max.value = jnp.maximum(
+                    act_max.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, padding, rhs_dilation=dil,
+                dimension_numbers=dn)
+        s_act = jnp.maximum(act_max.value, 1e-6) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_act),
+                      -127, 127).astype(jnp.int8)
+        w_max = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2, 3)),
+                            1e-12)
+        s_w = w_max / 127.0
+        wq = jnp.round(kernel / s_w).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            xq, wq, self.strides, padding, rhs_dilation=dil,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * (s_act * s_w)).astype(self.dtype)
+
+
 def quantize_static(x: jax.Array, act_max: jax.Array):
     """Symmetric per-tensor int8 quantize with a calibrated max-abs.
     Returns (int8 tensor, scale) — pair with ``QuantConv(..., in_scale=)``."""

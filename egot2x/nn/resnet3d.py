@@ -133,31 +133,48 @@ def resolve_nonlocal(location, group=None, pool=None,
 
 
 class BottleneckTransform(nn.Module):
-    """Tx1x1 → 1x3x3(stride) → 1x1x1 bottleneck (resnet_helper.py)."""
+    """Tx1x1 → 1x3x3(stride) → 1x1x1 bottleneck (resnet_helper.py).
+
+    ``quant=True`` swaps the three convs for int8 static-PTQ
+    :class:`~egot2x.nn.quant.QuantConv3D` (same param layout; the
+    ``quant`` collection carries the calibrated activation scales)."""
 
     dim_out: int
     dim_inner: int
     temp_kernel: int
     stride: int
     dilation: int = 1
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
+    def _conv(self, features, kernel, strides, padding, dilation, name):
+        if self.quant:
+            from egot2x.nn.quant import QuantConv3D
+
+            return QuantConv3D(features, kernel, strides=strides,
+                               padding=padding, kernel_dilation=dilation,
+                               dtype=self.dtype, name=name)
+        conv = nn.Conv(features, kernel, strides=strides, padding=padding,
+                       kernel_dilation=dilation, use_bias=False,
+                       dtype=self.dtype, name=name)
+        return lambda x, calibrate=False: conv(x)
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, calibrate: bool = False):
         t = self.temp_kernel
-        y = nn.Conv(self.dim_inner, (t, 1, 1),
-                    padding=[(t // 2, t // 2), (0, 0), (0, 0)],
-                    use_bias=False, dtype=self.dtype, name="a")(x)
+        y = self._conv(self.dim_inner, (t, 1, 1), (1, 1, 1),
+                       [(t // 2, t // 2), (0, 0), (0, 0)], None,
+                       "a")(x, calibrate=calibrate)
         y = nn.relu(_bn(train, self.dtype, "a_bn")(y))
         d = self.dilation
-        y = nn.Conv(self.dim_inner, (1, 3, 3),
-                    strides=(1, self.stride, self.stride),
-                    padding=[(0, 0), (d, d), (d, d)],
-                    kernel_dilation=(1, d, d),
-                    use_bias=False, dtype=self.dtype, name="b")(y)
+        y = self._conv(self.dim_inner, (1, 3, 3),
+                       (1, self.stride, self.stride),
+                       [(0, 0), (d, d), (d, d)], (1, d, d),
+                       "b")(y, calibrate=calibrate)
         y = nn.relu(_bn(train, self.dtype, "b_bn")(y))
-        y = nn.Conv(self.dim_out, (1, 1, 1), use_bias=False, dtype=self.dtype,
-                    name="c")(y)
+        y = self._conv(self.dim_out, (1, 1, 1), (1, 1, 1),
+                       [(0, 0), (0, 0), (0, 0)], None,
+                       "c")(y, calibrate=calibrate)
         # final BN zero-init gamma is the reference ZERO_INIT_FINAL_BN
         return _bn(train, self.dtype, "c_bn")(y)
 
@@ -168,20 +185,32 @@ class ResBlock(nn.Module):
     temp_kernel: int
     stride: int
     dilation: int = 1
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, calibrate: bool = False):
         shortcut = x
         if x.shape[-1] != self.dim_out or self.stride > 1:
-            shortcut = nn.Conv(self.dim_out, (1, 1, 1),
-                               strides=(1, self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
-                               name="branch1")(x)
+            if self.quant:
+                from egot2x.nn.quant import QuantConv3D
+
+                shortcut = QuantConv3D(
+                    self.dim_out, (1, 1, 1),
+                    strides=(1, self.stride, self.stride),
+                    padding=[(0, 0)] * 3, dtype=self.dtype,
+                    name="branch1")(x, calibrate=calibrate)
+            else:
+                shortcut = nn.Conv(self.dim_out, (1, 1, 1),
+                                   strides=(1, self.stride, self.stride),
+                                   use_bias=False, dtype=self.dtype,
+                                   name="branch1")(x)
             shortcut = _bn(train, self.dtype, "branch1_bn")(shortcut)
         y = BottleneckTransform(self.dim_out, self.dim_inner, self.temp_kernel,
-                                self.stride, self.dilation, dtype=self.dtype,
-                                name="branch2")(x, train=train)
+                                self.stride, self.dilation, quant=self.quant,
+                                dtype=self.dtype,
+                                name="branch2")(x, train=train,
+                                                calibrate=calibrate)
         return nn.relu(shortcut + y)
 
 
@@ -200,10 +229,11 @@ class ResStage(nn.Module):
     nonlocal_group: int = 1
     nonlocal_pool: Any = None
     nonlocal_instantiation: str = "dot_product"
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, calibrate: bool = False):
         # temporal kernel pattern: cycle temp_kernel_sizes over the first
         # num_block_temp_kernel blocks, 1 elsewhere (resnet_helper semantics)
         pattern = (list(self.temp_kernel_sizes)
@@ -212,7 +242,9 @@ class ResStage(nn.Module):
             tk = pattern[i] if i < self.num_block_temp_kernel else 1
             x = ResBlock(self.dim_out, self.dim_inner, tk,
                          self.stride if i == 0 else 1, self.dilation,
-                         dtype=self.dtype, name=f"block{i}")(x, train=train)
+                         quant=self.quant,
+                         dtype=self.dtype, name=f"block{i}")(
+                x, train=train, calibrate=calibrate)
             if i in self.nonlocal_inds:
                 nln = Nonlocal(self.dim_out // 2, self.nonlocal_pool,
                                self.nonlocal_instantiation, dtype=self.dtype,
@@ -319,38 +351,42 @@ class ResNet3D(nn.Module):
     # per-stage nonlocal config from resolve_nonlocal():
     # ((inds,)*4, (group,)*4, (pool,)*4, instantiation) or None
     nonlocal_cfg: Any = None
+    # int8 static-PTQ stage convs (QuantConv3D); the stem stays float
+    # (C_in=3 starves the int8 MXU — same finding as the 2-D trunks)
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, calibrate: bool = False):
         d2, d3, d4, d5 = MODEL_STAGE_DEPTH[self.depth]
         w = self.width_per_group
         dim_inner = self.num_groups * w
         tk = TEMPORAL_KERNEL_BASIS[self.arch]
-        stage_cls = nn.remat(ResStage, static_argnums=(2,)) if self.remat             else ResStage
+        stage_cls = nn.remat(ResStage, static_argnums=(2, 3)) if self.remat             else ResStage
         nl = self.nonlocal_cfg or (((),) * 4, (1,) * 4,
                                    (None,) * 4, "dot_product")
         nl_kw = lambda i: dict(nonlocal_inds=nl[0][i], nonlocal_group=nl[1][i],
                                nonlocal_pool=nl[2][i],
-                               nonlocal_instantiation=nl[3])
+                               nonlocal_instantiation=nl[3],
+                               quant=self.quant)
         y = VideoStem(w, tk[0][0], input_norm=self.input_norm,
                       dtype=self.dtype, name="s1")(x, train=train)
         y = stage_cls(w * 4, dim_inner, d2, tk[1], self.num_block_temp_kernel[0],
                       self.spatial_strides[0], dtype=self.dtype, name="s2",
-                      **nl_kw(0))(y, train)
+                      **nl_kw(0))(y, train, calibrate)
         pt = POOL1[self.arch][0]
         if pt > 1:  # temporal pool after res2 (c2d/i3d)
             b = y.shape[0]
             y = nn.max_pool(y, (pt, 1, 1), strides=(pt, 1, 1))
         y = stage_cls(w * 8, dim_inner * 2, d3, tk[2], self.num_block_temp_kernel[1],
                       self.spatial_strides[1], dtype=self.dtype, name="s3",
-                      **nl_kw(1))(y, train)
+                      **nl_kw(1))(y, train, calibrate)
         y = stage_cls(w * 16, dim_inner * 4, d4, tk[3], self.num_block_temp_kernel[2],
                       self.spatial_strides[2], dtype=self.dtype, name="s4",
-                      **nl_kw(2))(y, train)
+                      **nl_kw(2))(y, train, calibrate)
         y = stage_cls(w * 32, dim_inner * 8, d5, tk[4], self.num_block_temp_kernel[3],
                       self.spatial_strides[3], dtype=self.dtype, name="s5",
-                      **nl_kw(3))(y, train)
+                      **nl_kw(3))(y, train, calibrate)
         return y
 
 

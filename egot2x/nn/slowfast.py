@@ -54,10 +54,14 @@ class SlowFast(nn.Module):
     fusion_kernel: int = 5
     spatial_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
     num_block_temp_kernel: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    # int8 static-PTQ stage convs (QuantConv3D); stems and the thin
+    # lateral fuse convs stay float
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pathways: List[jax.Array], train: bool = False):
+    def __call__(self, pathways: List[jax.Array], train: bool = False,
+                 calibrate: bool = False):
         slow_in, fast_in = pathways
         d2, d3, d4, d5 = MODEL_STAGE_DEPTH[self.depth]
         w = self.width_per_group
@@ -84,10 +88,14 @@ class SlowFast(nn.Module):
         ]
         for si, (dim_out, inner, blocks, nbtk, stride) in enumerate(stage_dims, start=2):
             slow = ResStage(dim_out, inner, blocks, tk[si - 1][0], nbtk, stride,
-                            dtype=self.dtype, name=f"s{si}_slow")(slow, train=train)
+                            quant=self.quant, dtype=self.dtype,
+                            name=f"s{si}_slow")(slow, train=train,
+                                                calibrate=calibrate)
             fast = ResStage(dim_out // b_inv, inner // b_inv, blocks,
                             tk[si - 1][1], nbtk, stride,
-                            dtype=self.dtype, name=f"s{si}_fast")(fast, train=train)
+                            quant=self.quant, dtype=self.dtype,
+                            name=f"s{si}_fast")(fast, train=train,
+                                                calibrate=calibrate)
             if si < 5:
                 slow, fast = fuse(f"s{si}_fuse")(slow, fast, train=train)
         return [slow, fast]

@@ -180,7 +180,11 @@ def _packed_phase_pool(y: jax.Array) -> jax.Array:
     if y.dtype == jnp.int8:
         neg, pad_val = jnp.int8(-128), -128
     else:
-        neg, pad_val = jnp.asarray(-1e30, y.dtype), -1e30
+        # -inf, not a large-finite sentinel: JAX's reduce_window
+        # transpose rule only recognizes the max-pool pattern with an
+        # -inf init, and nofreeze training differentiates through this
+        # pool (the frozen-eval TalkNet graph with live gradients)
+        neg, pad_val = jnp.asarray(-jnp.inf, y.dtype), -jnp.inf
     c = y.shape[-1] // 2
     yh = jax.lax.reduce_window(
         y, neg, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),

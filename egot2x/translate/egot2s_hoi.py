@@ -71,6 +71,7 @@ class _HOIStreamMixin(nn.Module):
     alpha: int = 8
     beta_inv: int = 8
     nofreeze: bool = False
+    quant: bool = False  # int8 static-PTQ backbone trunks (egot2x.nn.quant)
     dtype: Dtype = jnp.float32
 
     def _freeze(self, x):
@@ -97,24 +98,29 @@ class _HOIStreamMixin(nn.Module):
             feats.append(self.action_head(s5, train=train)[0])
         return jnp.stack(feats, axis=1)
 
-    def _pnr_tokens(self, frames):
+    def _pnr_tokens(self, frames, calibrate: bool = False):
         """(B, 16, 8192) per-frame tokens from the frozen PNR backbone."""
         return self._freeze(
-            KeyframeLocalizationResNet(crop_size=self.crop_size, dtype=self.dtype,
-                                       name="pnr_model")(frames, middle=True))
+            KeyframeLocalizationResNet(crop_size=self.crop_size,
+                                       quant=self.quant, dtype=self.dtype,
+                                       name="pnr_model")(
+                frames, middle=True, calibrate=calibrate))
 
-    def _oscc_tokens(self, frames):
+    def _oscc_tokens(self, frames, calibrate: bool = False):
         return self._freeze(
             StateChangeClsResNet(crop_size=self.crop_size, no_temp_pool=True,
-                                 dtype=self.dtype,
-                                 name="oscc_model")(frames, middle=True))
+                                 quant=self.quant, dtype=self.dtype,
+                                 name="oscc_model")(
+                frames, middle=True, calibrate=calibrate))
 
-    def _action_token_streams(self, pathways, fast_out_t: int = 8):
+    def _action_token_streams(self, pathways, fast_out_t: int = 8,
+                              calibrate: bool = False):
         """Frozen SlowFast s5 → slow tokens (B, T/α, 2048) and
         adaptive-pooled fast tokens (B, fast_out_t, 256)."""
         slow, fast = SlowFast(alpha=self.alpha, beta_inv=self.beta_inv,
-                              dtype=self.dtype, name="action_model")(
-            pathways, train=False)
+                              quant=self.quant, dtype=self.dtype,
+                              name="action_model")(
+            pathways, train=False, calibrate=calibrate)
         slow_tok = self._freeze(jnp.mean(slow, axis=(2, 3)))
         fast_tok = self._freeze(
             adaptive_avg_pool_time(jnp.mean(fast, axis=(2, 3)), fast_out_t))
@@ -174,13 +180,15 @@ class TaskFusionMFTransformer3TaskDropout(_HOIStreamMixin):
     transformer_dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, frames, pathways, train: bool = False):
+    def __call__(self, frames, pathways, train: bool = False,
+                 calibrate: bool = False):
         det = not train
         pnr = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj1")(
-            self._pnr_tokens(frames))
+            self._pnr_tokens(frames, calibrate=calibrate))
         oscc = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj2")(
-            self._oscc_tokens(frames))
-        slow_tok, fast_tok = self._action_token_streams(pathways)
+            self._oscc_tokens(frames, calibrate=calibrate))
+        slow_tok, fast_tok = self._action_token_streams(pathways,
+                                                        calibrate=calibrate)
         slow = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj3_slow")(slow_tok)
         fast = nn.Dense(self.feature_dim, dtype=self.dtype, name="proj3_fast")(fast_tok)
         dp = nn.Dropout(self.feat_dropout)

@@ -15,7 +15,9 @@ uint8 stems are a deployment-inference design; under training the fold
 kernels pin gradients to the explicit-normalize float path.
 
 Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train.py
-Env:    BATCH (default 64), T (default 30), N_ITER (default 10)
+Env:    BATCH (default 64), T (default 30), N_ITER (default 10),
+        NOFREEZE=1 trains the backbones too (full backward — the
+        reference Stage-I/full-finetune regime; needs smaller BATCH)
 Prints one JSON line: train clips/s/chip + steps/s.
 """
 
@@ -39,13 +41,14 @@ def main():
     batch = int(os.environ.get("BATCH", "64"))
     t = int(os.environ.get("T", "30"))
     n_iter = int(os.environ.get("N_ITER", "10"))
+    nofreeze = bool(int(os.environ.get("NOFREEZE", "0")))
 
     cfg = Config(
         data_root="/nonexistent",  # loaders are never constructed
         model="TaskFusionMFTransformer3Task",
         weights=[0.266, 0.734], lr=1e-4, wd=1e-4, batch_size=batch,
         num_workers=0, img_size=224, seed=0, hidden_dim=128, num_layers=1,
-        num_heads=4, dropout=0.5, nofreeze=False, compute_dtype="bf16",
+        num_heads=4, dropout=0.5, nofreeze=nofreeze, compute_dtype="bf16",
         lam_checkpoint=None, ttm_checkpoint=None, asd_checkpoint=None,
     )
     task = TalkingToMe2Loader(cfg)
@@ -90,8 +93,10 @@ def main():
         "value": round(clips, 2),
         "unit": "clips/s/chip",
         "steps_per_sec": round(n_iter / dt, 3),
-        "config": f"bf16 train step, frozen backbones (backward DCE'd), "
-                  f"Adam on translator, batch {batch}, T={t}",
+        "config": (f"bf16 train step, "
+                   + ("FULL backward (nofreeze)" if nofreeze else
+                      "frozen backbones (backward DCE'd)")
+                   + f", Adam, batch {batch}, T={t}"),
     }))
 
 

@@ -111,7 +111,9 @@ def main():
     xu = jax.jit(lambda k: jax.random.randint(
         k, (FRAMES, IMG, IMG, 3), 0, 256, jnp.uint8))(jax.random.key(0))
     xf = jax.jit(lambda x: norm(x, jnp.float32))(xu)
-    _ = np.asarray(xf.ravel()[0])
+    # scalar-fetch a reduce — ravel()[0] forces a lane-padded (C=3→128)
+    # copy of the whole tensor (123 GB at this shape)
+    _ = np.asarray(jax.jit(lambda v: v[0, 0, 0, 0])(xf))
     print("inputs staged", flush=True)
 
     print("| variant | ms |\n|---|---|", flush=True)
