@@ -123,6 +123,12 @@ class BucketBatchLoader:
             rem = idx[n_full * bs :]
             if len(rem) and self.mode != "train":
                 plan.append((base, rem))
+            elif n_full == 0 and len(rem) and self.mode == "train":
+                # fewer items than one shardable batch (batch_divisor
+                # rounds bs up to the mesh data-axis size): wrap-repeat
+                # rather than silently dropping the bucket — real
+                # datasets never hit this, tiny fixtures must still train
+                plan.append((base, np.resize(rem, bs)))
         if self.mode == "train":
             rng.shuffle(plan)
         return plan

@@ -126,6 +126,10 @@ class BatchLoader:
         if self.mode == "train":
             n_batches = len(idx) // bs
             chunks = [idx[i * bs : (i + 1) * bs] for i in range(n_batches)]
+            if not chunks and len(idx):
+                # dataset smaller than one (mesh-shardable) batch:
+                # wrap-repeat instead of silently dropping the epoch
+                chunks = [np.resize(idx, bs)]
         else:
             chunks = [idx[i : i + bs] for i in range(0, len(idx), bs)]
         if not chunks:

@@ -102,13 +102,15 @@ class ActiveSpeakerDetection(Task):
         c = self.cfg
         return BucketBatchLoader(self._dataset("train"), frames_budget=c.batch_size,
                                  buckets=ASD_BUCKETS, mode="train", seed=c.seed,
-                                 num_workers=c.num_workers)
+                                 num_workers=c.num_workers,
+                                 batch_divisor=self.batch_divisor)
 
     def val_loader(self):
         c = self.cfg
         return BucketBatchLoader(self._dataset("val"), frames_budget=c.batch_size,
                                  buckets=ASD_BUCKETS, mode="eval",
-                                 num_workers=c.num_workers)
+                                 num_workers=c.num_workers,
+                                 batch_divisor=self.batch_divisor)
 
     def start_validation(self):
         return {"correct": 0, "total": 0}

@@ -31,6 +31,18 @@ class Task:
     checkpoint_metric: str = "val_loss"
     checkpoint_mode: str = "min"
 
+    # batch shardability: the Trainer sets this to its mesh data-axis
+    # size before building loaders, so every batch's leading dim is a
+    # multiple of the data axis (bucketed loaders round/pad to it).
+    # Manual-step use (tests, scripts) keeps 1 — no batch reshaping.
+    batch_divisor: int = 1
+
+    def shardable_batch(self, batch_size: int) -> int:
+        """Round a configured batch size UP to a multiple of the mesh
+        data-axis size (no-op at the default divisor 1)."""
+        d = self.batch_divisor
+        return max(d, ((int(batch_size) + d - 1) // d) * d)
+
     def build_state(self, rng: jax.Array) -> TrainState:
         raise NotImplementedError
 

@@ -92,12 +92,14 @@ class LookingAtMe(Task):
 
     def train_loader(self):
         c = self.cfg
-        return BatchLoader(self._dataset("train"), c.batch_size, mode="train",
+        return BatchLoader(self._dataset("train"),
+                           self.shardable_batch(c.batch_size), mode="train",
                            seed=c.seed, num_workers=c.num_workers)
 
     def val_loader(self):
         c = self.cfg
-        return BatchLoader(self._dataset("val"), c.batch_size, mode="eval",
+        return BatchLoader(self._dataset("val"),
+                           self.shardable_batch(c.batch_size), mode="eval",
                            num_workers=c.num_workers)
 
     # -- validation aggregation (reference PostProcessor semantics) --------

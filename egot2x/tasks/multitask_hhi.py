@@ -71,17 +71,20 @@ class Unified3TaskTranslation(Task):
         lam = BatchLoader(
             LamSeqDataset(self.vocab, c.lam_root, split=split, stride=1,
                           img_size=c.img_size),
-            c.get("lam_batch", 4), mode=mode, seed=c.seed, num_workers=c.num_workers)
+            self.shardable_batch(c.get("lam_batch", 4)), mode=mode,
+            seed=c.seed, num_workers=c.num_workers)
         ttm = BucketBatchLoader(
             TtmTwoTaskSeqDataset(self.vocab, c.ttm_root, split=split,
                                  img_size=c.img_size),
             frames_budget=c.get("ttm_budget", 2 * n), buckets=(n,),
-            mode=mode, seed=c.seed, num_workers=c.num_workers)
+            mode=mode, seed=c.seed, num_workers=c.num_workers,
+            batch_divisor=self.batch_divisor)
         asd = BucketBatchLoader(
             AsdSeqDataset(self.vocab, c.asd_root, split=split, with_rgb=True,
                           rgb_size=c.img_size),
             frames_budget=c.get("asd_budget", 2 * n), buckets=(n,),
-            mode=mode, seed=c.seed, num_workers=c.num_workers)
+            mode=mode, seed=c.seed, num_workers=c.num_workers,
+            batch_divisor=self.batch_divisor)
         return {"lam": lam, "ttm": ttm, "asd": asd}
 
     def train_loader(self):

@@ -116,19 +116,19 @@ class Unified6TaskTranslation(Task):
                           aux_num_frames=c.get("num_frames", 32),
                           aux_alpha=c.get("alpha", 8),
                           aux_crop=c.get("crop_size", 224)),
-            c.get("pnr_batch", 2), mode=mode, seed=c.seed,
+            self.shardable_batch(c.get("pnr_batch", 2)), mode=mode, seed=c.seed,
             num_workers=c.num_workers)
         action = BatchLoader(
             RecognitionSeqDataset(self.vocab, self.verb_dict, self.noun_dict,
                                   c.lta_root, split=split, **common),
-            c.get("action_batch", 2), mode=mode, seed=c.seed,
+            self.shardable_batch(c.get("action_batch", 2)), mode=mode, seed=c.seed,
             num_workers=c.num_workers)
         lta = BatchLoader(
             LtaSeqDataset(self.vocab, self.verb_dict, self.noun_dict,
                           c.lta_root, split=split,
                           num_input_clips=c.get("num_input_clips", 2),
                           num_actions=c.get("num_actions", 20), **common),
-            c.get("lta_batch", 2), mode=mode, seed=c.seed,
+            self.shardable_batch(c.get("lta_batch", 2)), mode=mode, seed=c.seed,
             num_workers=c.num_workers)
         loaders = {"pnr": pnr, "action": action, "lta": lta}
         return {k: v for k, v in loaders.items() if k in self.active_sources}

@@ -87,13 +87,15 @@ class ShortTermAnticipationTask(Task):
 
     def train_loader(self):
         c = self.cfg
-        return BatchLoader(self._dataset("train"), c.batch_size,
+        return BatchLoader(self._dataset("train"),
+                           self.shardable_batch(c.batch_size),
                            mode="train", seed=c.seed,
                            num_workers=c.num_workers)
 
     def val_loader(self):
         c = self.cfg
-        return BatchLoader(self._dataset("val"), c.batch_size, mode="eval",
+        return BatchLoader(self._dataset("val"),
+                           self.shardable_batch(c.batch_size), mode="eval",
                            num_workers=c.num_workers)
 
     # -- steps ---------------------------------------------------------------

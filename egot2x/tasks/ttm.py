@@ -93,7 +93,7 @@ class TalkingToMe(Task):
         return BucketBatchLoader(
             self._dataset("train"), frames_budget=c.batch_size,
             buckets=self.buckets, mode="train", seed=c.seed,
-            num_workers=c.num_workers,
+            num_workers=c.num_workers, batch_divisor=self.batch_divisor,
         )
 
     def val_loader(self):
@@ -101,6 +101,7 @@ class TalkingToMe(Task):
         return BucketBatchLoader(
             self._dataset("val"), frames_budget=c.batch_size,
             buckets=self.buckets, mode="eval", num_workers=c.num_workers,
+            batch_divisor=self.batch_divisor,
         )
 
     # -- validation: per-segment logit averaging ---------------------------

@@ -124,6 +124,13 @@ class Trainer:
                 mp = 1
             mesh = make_mesh(model=mp)
         self.mesh = mesh
+        # loaders must emit batches whose leading dim shards over the
+        # data axis; bucketed loaders round/pad their batch size to this.
+        # Loaders are PER-PROCESS (each contributes global/process_count
+        # rows via make_array_from_process_local_data), so the local
+        # divisor is the per-process share of the data axis.
+        task.batch_divisor = max(
+            1, int(self.mesh.shape.get("data", 1)) // jax.process_count())
         self.log_every = log_every
         self.seed = seed
         # recompute exact BN statistics over N train batches before each
