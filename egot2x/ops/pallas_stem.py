@@ -273,6 +273,141 @@ def fused_stem_pool(x_packed: jax.Array, w_flat: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# int8-emitting variant (round 4): the stem's cost is the bf16/int8
+# conv-map HBM round trip between conv and pool; this kernel quantizes
+# in the conv epilogue (relu folds into the [0, 127] clip) and pools
+# int8 in VMEM, so the only HBM write is the pooled int8 map. Supports
+# multiple 64-wide trunks in one pass (n_trunks 128-lane phase groups
+# stacked on the lane axis) so two trunks reading the same frames pay
+# ONE input read.
+# ---------------------------------------------------------------------------
+
+def _stem_kernel_q(x_ref, w_ref, sb_ref, out_ref, conv_scr, patch_scr, *,
+                   conv_h: int, conv_w: int, c_in: int, tile_h: int,
+                   k_pad: int, n_trunks: int):
+    """One image per grid step; int8 output.
+
+    x_ref    (1, conv_h+4, conv_w+2, c_in)      packed input
+    w_ref    (k_pad, 128*n_trunks)              packed kernels (lane-stacked)
+    sb_ref   (2, 128*n_trunks)                  scale/127·s and bias/s (f32,
+                                                the quant divide pre-folded)
+    out_ref  (1, conv_h//2, conv_w, 64*n_trunks) pooled int8
+    conv_scr (conv_h, conv_w, 128*n_trunks)     int8 conv map (VMEM only)
+    patch_scr(tile_h, conv_w, k_pad)            im2col tile (VMEM)
+    """
+    n_tiles = conv_h // tile_h
+    k_real = 12 * c_in
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_pad_cols():
+        patch_scr[:, :, k_real:] = jnp.zeros(
+            (tile_h, conv_w, k_pad - k_real), patch_scr.dtype)
+
+    scale = sb_ref[0, :]
+    bias = sb_ref[1, :]
+
+    def tile_body(t, _):
+        i0 = t * tile_h
+        for dh in range(4):
+            for dw in range(3):
+                base = (dh * 3 + dw) * c_in
+                patch_scr[:, :, base:base + c_in] = x_ref[
+                    0, pl.ds(i0 + dh, tile_h), pl.ds(dw, conv_w), :]
+        a = patch_scr[:, :, :].reshape(tile_h * conv_w, k_pad)
+        acc = jnp.dot(a, w_ref[:, :], preferred_element_type=jnp.float32)
+        y = acc * scale[None, :] + bias[None, :]
+        # relu + symmetric int8 quantize: clip(round(max(y, 0)), 0, 127).
+        # The quantized values stay in BF16 (0..127 ints are exact in
+        # bf16, and Mosaic cannot legalize int8 vector max — the pool
+        # below needs max); int8 conversion happens at the output store.
+        q = jnp.clip(jnp.round(y), 0.0, 127.0)
+        conv_scr[pl.ds(i0, tile_h), :, :] = q.reshape(
+            tile_h, conv_w, 128 * n_trunks).astype(conv_scr.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+    # maxpool 3x3/2 pad 1. Post-relu values are >= 0, so a 0 pad is
+    # exact (max(v, 0) == v) — no -128 sentinel rows needed.
+    c = conv_scr[:, :, :]
+    zrow = jnp.zeros((1, conv_w, 128 * n_trunks), conv_scr.dtype)
+    cp = jnp.concatenate([zrow, c, zrow], axis=0)       # conv_h+2 rows
+    cpe = cp.reshape((conv_h + 2) // 2, 2, conv_w, 128 * n_trunks)
+    e = cpe[:, 0]                                        # rows 2j-1
+    o = cpe[:, 1]                                        # rows 2j
+    hp = jnp.maximum(jnp.maximum(e[:-1], o[:-1]), e[1:])  # (conv_h//2,..)
+    # w phases per trunk group: out px col m = max(B[m-1], A[m], B[m])
+    for g in range(n_trunks):
+        a_ph = hp[:, :, g * 128:g * 128 + 64]
+        b_ph = hp[:, :, g * 128 + 64:g * 128 + 128]
+        m0 = jnp.maximum(a_ph, b_ph)
+        out_ref[0, :, :, g * 64:(g + 1) * 64] = m0.astype(jnp.int8)
+        out_ref[0, :, 1:, g * 64:(g + 1) * 64] = jnp.maximum(
+            m0[:, 1:, :], b_ph[:, :-1, :]).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("conv_h", "conv_w", "tile_h",
+                                             "interpret"))
+def fused_stem_pool_q(x_packed: jax.Array, w_flat: jax.Array,
+                      scale_bias: jax.Array, *, conv_h: int, conv_w: int,
+                      tile_h: int = 16, interpret: bool = False) -> jax.Array:
+    """Packed stem conv + BN + relu + int8 quantize + 3x3/2 maxpool.
+
+    Like :func:`fused_stem_pool` but emits the POOLED INT8 map directly
+    (the deployment int8-before-pool recipe, nn/resnet2d.py): the
+    quantizer's 1/s divide must be pre-folded into ``scale_bias``
+    (scale' = bn_scale/s, bias' = bn_bias/s with s = act_max/127).
+    ``w_flat`` may lane-stack several trunks' packed kernels
+    ((k_pad, 128*n)); returns (N, conv_h//2, conv_w, 64*n) int8 with
+    each trunk's pooled map at lanes [g*64, (g+1)*64).
+    """
+    n, hp, wp, c_in = x_packed.shape
+    assert hp == conv_h + 4 and wp == conv_w + 2, (x_packed.shape, conv_h)
+    assert conv_h % tile_h == 0
+    k_pad, lanes = w_flat.shape
+    assert lanes % 128 == 0
+    n_trunks = lanes // 128
+    kern = functools.partial(
+        _stem_kernel_q, conv_h=conv_h, conv_w=conv_w, c_in=c_in,
+        tile_h=tile_h, k_pad=k_pad, n_trunks=n_trunks)
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, c_in), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, conv_h // 2, conv_w, 64 * n_trunks),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, conv_h // 2, conv_w,
+                                        64 * n_trunks), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((conv_h, conv_w, 128 * n_trunks), jnp.bfloat16),
+            pltpu.VMEM((tile_h, conv_w, k_pad), x_packed.dtype),
+        ],
+        interpret=interpret,
+    )(x_packed, w_flat, scale_bias)
+
+
+def fold_bn_quant(gamma, beta, mean, var, eps: float,
+                  act_max) -> jnp.ndarray:
+    """Eval BN + the int8 quantizer's 1/s divide as one per-lane affine
+    for :func:`fused_stem_pool_q`: scale' = γ/√(σ²+ε)/s, bias' =
+    (β − μ·γ/√(σ²+ε))/s, s = max(act_max, 1e-6)/127, tiled over the 2
+    w-phases -> (2, 128) f32."""
+    s = jnp.maximum(act_max, 1e-6) / 127.0
+    scale = gamma / jnp.sqrt(var + eps) / s
+    bias = (beta - mean * gamma / jnp.sqrt(var + eps)) / s
+    return jnp.stack([jnp.tile(scale, 2), jnp.tile(bias, 2)]).astype(
+        jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # convenience wrappers for the two stems
 # ---------------------------------------------------------------------------
 
