@@ -180,11 +180,15 @@ def _packed_phase_pool(y: jax.Array) -> jax.Array:
     if y.dtype == jnp.int8:
         neg, pad_val = jnp.int8(-128), -128
     else:
-        # -inf, not a large-finite sentinel: JAX's reduce_window
-        # transpose rule only recognizes the max-pool pattern with an
-        # -inf init, and nofreeze training differentiates through this
-        # pool (the frozen-eval TalkNet graph with live gradients)
-        neg, pad_val = jnp.asarray(-jnp.inf, y.dtype), -jnp.inf
+        # a CONCRETE python -inf, not a large-finite sentinel and not a
+        # jnp constant: JAX only dispatches to the differentiable
+        # reduce_window_max when the init is recognizably the max
+        # identity, and under jit tracing a jnp.asarray(-inf) becomes a
+        # traced constant the pattern-match cannot see — binding the
+        # generic reduce_window_p, which has no autodiff rule. nofreeze
+        # training differentiates through this pool (the frozen-eval
+        # TalkNet graph with live gradients).
+        neg, pad_val = -jnp.inf, -jnp.inf
     c = y.shape[-1] // 2
     yh = jax.lax.reduce_window(
         y, neg, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),

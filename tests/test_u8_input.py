@@ -240,3 +240,19 @@ def test_resnet2d_u8_fused_stem_matches_float():
     out_f = np.asarray(model.apply(
         variables, jnp.asarray(normalize_frames(u8)), train=False))
     np.testing.assert_allclose(out_u8, out_f, rtol=0, atol=1e-5)
+
+
+def test_packed_phase_pool_grad_under_jit():
+    """Regression (round 4): the pool's -inf init must be a CONCRETE
+    python scalar. A jnp.asarray(-inf, dtype) init becomes a traced
+    constant under jit, JAX's monoid pattern-match misses it and binds
+    the generic reduce_window_p, which has no autodiff rule — nofreeze
+    training (jit(value_and_grad) through the frozen-eval TalkNet)
+    then fails to linearize."""
+    from egot2x.nn.talknet import _packed_phase_pool
+
+    f = jax.jit(jax.grad(
+        lambda y: jnp.sum(_packed_phase_pool(y)).astype(jnp.float32)))
+    g = f(jnp.ones((1, 8, 8, 8), jnp.bfloat16))
+    assert g.shape == (1, 8, 8, 8)
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
