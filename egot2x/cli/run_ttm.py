@@ -40,6 +40,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ttm_checkpoint", type=str, default=None)
     p.add_argument("--asd_checkpoint", type=str, default=None)
     p.add_argument("--nofreeze", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone activations in backward "
+                        "(nofreeze full-train memory saver)")
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--num_layers", type=int, default=3)
     p.add_argument("--num_heads", type=int, default=4)

@@ -45,6 +45,7 @@ class TalkingToMe2Loader(TalkingToMe):
             num_layers=cfg.get("num_layers", 3),
             dropout=cfg.get("dropout", 0.1),
             nofreeze=cfg.get("nofreeze", False),
+            remat=cfg.get("remat", False),
         )
         self.class_weights = np.asarray(cfg.weights, dtype=np.float32)
 

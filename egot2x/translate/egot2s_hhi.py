@@ -59,16 +59,29 @@ class _FusionBase(nn.Module):
     dropout: float = 0.1
     nofreeze: bool = False
     quant: bool = False  # int8 static-PTQ resnet trunks (egot2x.nn.quant)
+    # rematerialize backbone activations in the backward pass (nofreeze
+    # full-train only — frozen training stop_gradients the trunks and
+    # never differentiates them). Trades one extra trunk forward for
+    # dropping the trunk activation residuals: b64/T30 full-train OOMs
+    # HBM by ~0.6 GB without it (docs/PROFILE.md round 4)
+    remat: bool = False
     dtype: Dtype = jnp.float32
+
+    def _bb(self, cls, static_argnums):
+        """Backbone class, nn.remat-wrapped under remat+nofreeze.
+        static_argnums = positions of the bool flag args (self = 0);
+        remat call sites must pass those flags POSITIONALLY."""
+        if self.remat and self.nofreeze:
+            return nn.remat(cls, static_argnums=static_argnums)
+        return cls
 
     def _asd_tokens(self, video_asd, audio_asd, deterministic=True,
                     calibrate=False):
         """Frozen TalkNet per-frame AV features (B, T, 256)."""
-        asd = TalkNetModel(quant=self.quant, dtype=self.dtype,
-                           name="asd_model")
-        outs_av, _, _ = asd(audio_asd, video_asd, train=False,
-                            deterministic=deterministic,
-                            calibrate=calibrate)
+        asd = self._bb(TalkNetModel, (3, 4, 5))(
+            quant=self.quant, dtype=self.dtype, name="asd_model")
+        outs_av, _, _ = asd(audio_asd, video_asd, False, deterministic,
+                            calibrate)
         return outs_av
 
     def _maybe_freeze(self, x):
@@ -135,9 +148,11 @@ class TaskFusionMFTransformer2Task(_FusionBase):
         # read from HBM as raw uint8 by both trunks with no
         # materialized normalized copy
         lam_out = self._maybe_freeze(
-            LAMBackbone(dtype=self.dtype, name="lam_model")(video, middle=True))
+            self._bb(LAMBackbone, (2,))(dtype=self.dtype, name="lam_model")(
+                video, True))
         ttm_out = self._maybe_freeze(
-            TTMBackbone(dtype=self.dtype, name="ttm_model")(video, audio, middle=True))
+            self._bb(TTMBackbone, (3,))(dtype=self.dtype, name="ttm_model")(
+                video, audio, True))
         out = _MFTransformerCore(
             2, self.hidden_dim, self.num_heads, self.num_layers, self.dropout,
             dtype=self.dtype, name="core",
@@ -165,11 +180,13 @@ class TaskFusionMFTransformer3Task(_FusionBase):
             self._asd_tokens(video_asd, audio_asd, deterministic=True,
                              calibrate=calibrate))
         lam_out = self._maybe_freeze(
-            LAMBackbone(quant=self.quant, dtype=self.dtype, name="lam_model")(
-                video, middle=True, calibrate=calibrate))
+            self._bb(LAMBackbone, (2, 3))(
+                quant=self.quant, dtype=self.dtype, name="lam_model")(
+                video, True, calibrate))
         ttm_out = self._maybe_freeze(
-            TTMBackbone(quant=self.quant, dtype=self.dtype, name="ttm_model")(
-                video, audio, middle=True, calibrate=calibrate))
+            self._bb(TTMBackbone, (3, 4))(
+                quant=self.quant, dtype=self.dtype, name="ttm_model")(
+                video, audio, True, calibrate))
         out = _MFTransformerCore(
             3, self.hidden_dim, self.num_heads, self.num_layers, self.dropout,
             dtype=self.dtype, name="core",
@@ -194,9 +211,11 @@ class TaskFusionMFTransformer3TaskASD(_FusionBase):
         asd_out = self._maybe_freeze(
             self._asd_tokens(video_asd, audio_asd, deterministic=True))
         lam_out = self._maybe_freeze(
-            LAMBackbone(dtype=self.dtype, name="lam_model")(video, middle=True))
+            self._bb(LAMBackbone, (2,))(dtype=self.dtype, name="lam_model")(
+                video, True))
         ttm_out = self._maybe_freeze(
-            TTMBackbone(dtype=self.dtype, name="ttm_model")(video, audio, middle=True))
+            self._bb(TTMBackbone, (3,))(dtype=self.dtype, name="ttm_model")(
+                video, audio, True))
         n, t_asd = asd_out.shape[0], asd_out.shape[1]
         out = _MFTransformerCore(
             3, self.hidden_dim, self.num_heads, self.num_layers, self.dropout,

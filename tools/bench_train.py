@@ -42,13 +42,15 @@ def main():
     t = int(os.environ.get("T", "30"))
     n_iter = int(os.environ.get("N_ITER", "10"))
     nofreeze = bool(int(os.environ.get("NOFREEZE", "0")))
+    remat = bool(int(os.environ.get("REMAT", "0")))
 
     cfg = Config(
         data_root="/nonexistent",  # loaders are never constructed
         model="TaskFusionMFTransformer3Task",
         weights=[0.266, 0.734], lr=1e-4, wd=1e-4, batch_size=batch,
         num_workers=0, img_size=224, seed=0, hidden_dim=128, num_layers=1,
-        num_heads=4, dropout=0.5, nofreeze=nofreeze, compute_dtype="bf16",
+        num_heads=4, dropout=0.5, nofreeze=nofreeze, remat=remat,
+        compute_dtype="bf16",
         lam_checkpoint=None, ttm_checkpoint=None, asd_checkpoint=None,
     )
     task = TalkingToMe2Loader(cfg)
@@ -94,7 +96,9 @@ def main():
         "unit": "clips/s/chip",
         "steps_per_sec": round(n_iter / dt, 3),
         "config": (f"bf16 train step, "
-                   + ("FULL backward (nofreeze)" if nofreeze else
+                   + (("FULL backward (nofreeze"
+                       + (", remat trunks" if remat else "") + ")")
+                      if nofreeze else
                       "frozen backbones (backward DCE'd)")
                    + f", Adam, batch {batch}, T={t}"),
     }))
