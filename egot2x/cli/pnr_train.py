@@ -48,6 +48,10 @@ def build_argparser():
     p.add_argument("--output_dir", type=str, default="debug")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--quant_trunks", action="store_true",
+                   help="run the FROZEN HOI trunks in int8 static-PTQ "
+                        "during 2-loader translator training (scales "
+                        "calibrated on the first batch)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize trunk stages (memory for FLOPs)")
     p.add_argument("opts", nargs="*", default=[],

@@ -43,6 +43,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations in backward "
                         "(nofreeze full-train memory saver)")
+    p.add_argument("--quant_trunks", action="store_true",
+                   help="run the FROZEN Stage-I trunks in int8 static-PTQ "
+                        "during Stage-II training (scales calibrated on "
+                        "the first batch; accuracy-gated deployment path)")
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--num_layers", type=int, default=3)
     p.add_argument("--num_heads", type=int, default=4)

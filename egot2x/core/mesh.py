@@ -130,6 +130,7 @@ def shard_train_state(state, mesh: Mesh, model_parallel: bool = False,
     params = jtu.tree_map(
         lambda x: jax.device_put(x, sharding_for(x)), state.params)
     rest = jax.device_put(
-        (state.frozen, state.batch_stats, state.opt_state, state.step), rep)
+        (state.frozen, state.batch_stats, state.opt_state, state.step,
+         state.quant), rep)
     return state.replace(params=params, frozen=rest[0], batch_stats=rest[1],
-                         opt_state=rest[2], step=rest[3])
+                         opt_state=rest[2], step=rest[3], quant=rest[4])

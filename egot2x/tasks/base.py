@@ -67,6 +67,22 @@ class Task:
         support precise BN and the Trainer hook is a no-op."""
         return None
 
+    def calibrate_state(self, state: TrainState, batch) -> TrainState:
+        """One float calibration forward on ``batch``, capturing int8
+        activation scales into ``state.quant`` (static PTQ — see
+        egot2x.nn.quant). Requires the task to define ``_model_inputs``
+        and the model to accept ``calibrate=``; the Trainer calls this
+        once before the first step when the state carries uncalibrated
+        quant scales."""
+
+        @jax.jit
+        def _cal(variables, *xs):
+            return self.model.apply(variables, *xs, train=False,
+                                    calibrate=True, mutable=["quant"])
+
+        _, mutated = _cal(state.variables(), *self._model_inputs(batch))
+        return state.replace(quant=mutated["quant"])
+
     # -- validation aggregation (host side) -------------------------------
     def start_validation(self) -> Any:
         """Create an aggregation context (reference PostProcessor)."""

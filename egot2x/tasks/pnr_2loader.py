@@ -39,6 +39,11 @@ class _TwoLoaderMixin:
             feat_dropout=c.get("feat_dropout", 0.5),
             alpha=c.get("alpha", 8),
             beta_inv=c.get("beta_inv", 8),
+            # int8 static-PTQ trunks for Stage-II training: the frozen
+            # HOI backbones are ~all the step's FLOPs and take no
+            # gradient (tests/test_quant_3d.py gates accuracy). Scales
+            # calibrate on the first batch (Trainer hook).
+            quant=c.get("quant_trunks", False),
         )
 
     def _sample_inputs(self):
@@ -74,7 +79,12 @@ class _TwoLoaderMixin:
         return TrainState.create(
             apply_fn=self.model.apply, params=trainable, frozen=frozen, tx=tx,
             batch_stats=variables.get("batch_stats", {}),
+            quant=variables.get("quant", {}),
         )
+
+    def _model_inputs(self, batch):
+        # positional apply args (Task.calibrate_state contract)
+        return (batch["frames"], [batch["slow"], batch["fast"]])
 
     def _dataset(self, split):
         c = self.cfg
@@ -90,12 +100,15 @@ class _TwoLoaderMixin:
         from egot2x.train.state import merge_trees
 
         full = merge_trees(state.frozen, params) if state.frozen else params
+        variables = {"params": full, "batch_stats": state.batch_stats}
+        if state.quant:
+            variables["quant"] = state.quant
         kwargs = dict(train=train)
         if train:
             kwargs.update(mutable=["batch_stats"], rngs={"dropout": rng})
         return state.apply_fn(
-            {"params": full, "batch_stats": state.batch_stats},
-            batch["frames"], [batch["slow"], batch["fast"]], **kwargs,
+            variables, batch["frames"], [batch["slow"], batch["fast"]],
+            **kwargs,
         )
 
 

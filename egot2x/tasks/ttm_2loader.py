@@ -37,6 +37,11 @@ class TalkingToMe2Loader(TalkingToMe):
         self.cfg = cfg
         from egot2x.tasks.base import resolve_dtype
 
+        if cfg.get("quant_trunks") and cfg.get("nofreeze"):
+            raise ValueError(
+                "quant_trunks requires frozen trunks: the int8 conv "
+                "path has no gradient (nofreeze differentiates the "
+                "backbones)")
         self.model = build_model(
             cfg.model,
             dtype=resolve_dtype(cfg),
@@ -46,6 +51,11 @@ class TalkingToMe2Loader(TalkingToMe):
             dropout=cfg.get("dropout", 0.1),
             nofreeze=cfg.get("nofreeze", False),
             remat=cfg.get("remat", False),
+            # int8 static-PTQ trunks for Stage-II training: the frozen
+            # backbones' forward dominates the step and takes no
+            # gradient, so the deployment int8 path (accuracy-gated by
+            # tests/test_quant_gate.py) legally accelerates training too
+            quant=cfg.get("quant_trunks", False),
         )
         self.class_weights = np.asarray(cfg.weights, dtype=np.float32)
 
@@ -85,6 +95,7 @@ class TalkingToMe2Loader(TalkingToMe):
             frozen=frozen,
             tx=tx,
             batch_stats=variables.get("batch_stats", {}),
+            quant=variables.get("quant", {}),
         )
 
     def _model_inputs(self, batch):
@@ -98,8 +109,11 @@ class TalkingToMe2Loader(TalkingToMe):
             from egot2x.train.state import merge_trees
 
             full = merge_trees(state.frozen, params) if state.frozen else params
+            variables = {"params": full, "batch_stats": state.batch_stats}
+            if state.quant:
+                variables["quant"] = state.quant
             out, mutated = state.apply_fn(
-                {"params": full, "batch_stats": state.batch_stats},
+                variables,
                 *self._model_inputs(batch),
                 train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng},

@@ -27,6 +27,12 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # int8 static-PTQ activation scales (egot2x.nn.quant ``quant``
+    # collection); {} for float models. Stage-II training may run the
+    # FROZEN trunks in int8 (their forward is the bulk of the step and
+    # no gradient flows into them), so the scales ride in the state
+    # like batch_stats — non-trainable, checkpointed, replicated.
+    quant: Any = struct.field(default_factory=dict)
     # Debug capture of the last step's raw gradients (the reference's
     # LOG_GRADIENT_PERIOD hook, HOI/tasks/lta/video_task.py:112-125).
     # None = off (no cost). The Trainer enables it by seeding a
@@ -43,6 +49,8 @@ class TrainState(struct.PyTreeNode):
         out = {"params": params}
         if self.batch_stats:
             out["batch_stats"] = self.batch_stats
+        if self.quant:
+            out["quant"] = self.quant
         return out
 
     def apply_gradients(self, grads) -> "TrainState":
@@ -53,7 +61,8 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt_state, grad_stats=new_stats)
 
     @classmethod
-    def create(cls, apply_fn, params, tx, frozen=None, batch_stats=None):
+    def create(cls, apply_fn, params, tx, frozen=None, batch_stats=None,
+               quant=None):
         import jax.numpy as jnp
 
         return cls(
@@ -64,6 +73,7 @@ class TrainState(struct.PyTreeNode):
             opt_state=tx.init(params),
             apply_fn=apply_fn,
             tx=tx,
+            quant=quant or {},
         )
 
 

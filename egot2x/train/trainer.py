@@ -46,13 +46,18 @@ class CheckpointManager:
         self._scores: Dict[int, float] = {}
 
     def _tree(self, state):
-        return {
+        out = {
             "step": state.step,
             "params": state.params,
             "frozen": state.frozen,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
         }
+        if state.quant:
+            # calibrated int8 activation scales (only present on quant
+            # states — float checkpoints keep their original layout)
+            out["quant"] = state.quant
+        return out
 
     def save(self, state, epoch: int, metrics: Dict[str, float]) -> None:
         score = float(metrics.get(self.metric, 0.0))
@@ -212,6 +217,19 @@ class Trainer:
         # kernels when model_parallel, else replicate everything
         state = shard_train_state(state, self.mesh, self.model_parallel)
         loader = task.train_loader()
+        if state.quant and any(
+                float(s) <= 0.0
+                for s in jax.device_get(jax.tree_util.tree_leaves(state.quant))):
+            # int8 trunks with uncalibrated activation scales: run one
+            # float calibration pass on the first real batch (static
+            # PTQ needs representative activations — build_state only
+            # saw zeros)
+            it = iter(loader)
+            batch = next(it)
+            if hasattr(it, "close"):
+                it.close()  # release the loader's prefetch pool
+            state = task.calibrate_state(state, self._device_batch(batch))
+            logger.info("calibrated int8 activation scales on one batch")
         epochs = 1 if self.fast_dev_run else self.max_epochs
         rng = jax.random.key(self.seed + 1)
         for epoch in range(start_epoch, max(epochs, start_epoch)):

@@ -102,15 +102,18 @@ def main():
             pass
     print("init done", file=sys.stderr)
 
+    # variables ride as an ARGUMENT, not a closure: the HOI trunks are
+    # hundreds of MB and constant-folding them serializes the weights
+    # into the remote-compile request (HTTP 413 on the tunnel)
     @jax.jit
-    def fwd(fr, pw):
-        return model.apply(variables, fr, pw, train=False)
+    def fwd(v, fr, pw):
+        return model.apply(v, fr, pw, train=False)
 
-    out = fwd(frames, pathways)
+    out = fwd(variables, frames, pathways)
     _ = np.asarray(out)
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = fwd(frames, pathways)
+        out = fwd(variables, frames, pathways)
     _ = np.asarray(out)  # completion barrier (tunnel runtime)
     dt = time.perf_counter() - t0
     clips = batch * n_iter / dt

@@ -17,7 +17,9 @@ kernels pin gradients to the explicit-normalize float path.
 Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train.py
 Env:    BATCH (default 64), T (default 30), N_ITER (default 10),
         NOFREEZE=1 trains the backbones too (full backward — the
-        reference Stage-I/full-finetune regime; needs smaller BATCH)
+        reference Stage-I/full-finetune regime; needs smaller BATCH),
+        QUANT=1 runs the frozen trunks in int8 static-PTQ (scales
+        calibrated on the feed batch; frozen regime only)
 Prints one JSON line: train clips/s/chip + steps/s.
 """
 
@@ -43,6 +45,7 @@ def main():
     n_iter = int(os.environ.get("N_ITER", "10"))
     nofreeze = bool(int(os.environ.get("NOFREEZE", "0")))
     remat = bool(int(os.environ.get("REMAT", "0")))
+    quant = bool(int(os.environ.get("QUANT", "0")))
 
     cfg = Config(
         data_root="/nonexistent",  # loaders are never constructed
@@ -50,7 +53,7 @@ def main():
         weights=[0.266, 0.734], lr=1e-4, wd=1e-4, batch_size=batch,
         num_workers=0, img_size=224, seed=0, hidden_dim=128, num_layers=1,
         num_heads=4, dropout=0.5, nofreeze=nofreeze, remat=remat,
-        compute_dtype="bf16",
+        quant_trunks=quant, compute_dtype="bf16",
         lam_checkpoint=None, ttm_checkpoint=None, asd_checkpoint=None,
     )
     task = TalkingToMe2Loader(cfg)
@@ -77,6 +80,13 @@ def main():
     }
     feed = jax.device_put(feed, dev)
 
+    if quant:
+        # one float pass captures the int8 activation scales (the
+        # Trainer does this on the first real batch; here the feed
+        # batch is the calibration batch)
+        state = task.calibrate_state(state, feed)
+        print("calibrated int8 scales", file=sys.stderr)
+
     step = jax.jit(task.train_step, donate_argnums=0)
     keys = [jax.random.key(i) for i in range(n_iter + 1)]
     state, metrics = step(state, feed, keys[0])
@@ -99,7 +109,8 @@ def main():
                    + (("FULL backward (nofreeze"
                        + (", remat trunks" if remat else "") + ")")
                       if nofreeze else
-                      "frozen backbones (backward DCE'd)")
+                      ("int8 frozen trunks (backward DCE'd)" if quant else
+                       "frozen backbones (backward DCE'd)"))
                    + f", Adam, batch {batch}, T={t}"),
     }))
 
