@@ -37,8 +37,15 @@ def main():
     from egot2x.nn.quant import calibrate_variables
     import egot2x.translate.egot2s_hhi  # noqa: F401
 
+    import os as _os
+
+    # fused LAM+TTM stem conv (egot2x/nn/fused_stem.py): one (7,7,3,128)
+    # stem writes the int8 map at full (32,128) lane density instead of
+    # two half-dense 64-channel maps. BENCH_FUSE_STEMS=0 for A/B runs.
+    _fuse = _os.environ.get("BENCH_FUSE_STEMS", "1") == "1"
     model = build_model("TaskFusionMFTransformer3Task", hidden_dim=128,
-                        num_layers=1, quant=True, dtype=jnp.bfloat16)
+                        num_layers=1, quant=True, fuse_stems=_fuse,
+                        dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     # Device-only bench feed: HOST-NORMALIZED f32 — measured fastest on
     # the full flagship (round 4, idle chip, b160):
@@ -50,7 +57,6 @@ def main():
     # whole-graph layout/fusion effect, not stem-local. The u8 feed
     # remains the PIPELINE format (4x fewer host->device bytes,
     # tools/bench_e2e.py); the stems accept either.
-    import os as _os
     _feed = _os.environ.get("BENCH_FEED", "f32")  # f32 | u8 | rgb_f32 | asd_f32
     rgb_u8 = rng.integers(0, 256, (BATCH, T, IMG, IMG, 3))
     asd_u8 = rng.integers(0, 256, (BATCH, T, 112, 112))
@@ -163,7 +169,8 @@ def main():
         "v4_8_vs_5x_north_star": round(clips_per_sec * 8 / 5000.0, 3),
         "config": "bf16 + int8 static-PTQ conv trunks (int8-before-pool, "
                   "block-chained int8 activations), packed stem, "
-                  f"{_feed} video feed, batch {BATCH}",
+                  + ("fused dual RGB stem, " if _fuse else "")
+                  + f"{_feed} video feed, batch {BATCH}",
     }))
 
 

@@ -32,13 +32,14 @@ class LAMTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, video: jax.Array, train: bool = False, middle: bool = False,
-                 calibrate: bool = False):
+                 calibrate: bool = False, stem_in=None):
         n, t, h, w, c = video.shape
         frames = video.reshape(n * t, h, w, c)
         feats = ResNet2D(num_classes=self.img_feature_dim, quant=self.quant,
                          dtype=self.dtype,
                          name="base_model")(frames, train=train,
-                                            calibrate=calibrate)
+                                            calibrate=calibrate,
+                                            stem_in=stem_in)
         feats = feats.reshape(n, t, self.img_feature_dim)
         if middle:
             # Per-frame token sequence for EgoT2 translators
@@ -79,11 +80,12 @@ class LAMBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, video: jax.Array, middle: bool = False,
-                 calibrate: bool = False):
+                 calibrate: bool = False, stem_in=None):
         # Frozen semantics: always eval-mode BN (running stats).
         return LAMTrunk(self.img_feature_dim, quant=self.quant,
                         dtype=self.dtype, name="trunk")(
-            video, train=False, middle=middle, calibrate=calibrate
+            video, train=False, middle=middle, calibrate=calibrate,
+            stem_in=stem_in,
         )
 
 

@@ -28,13 +28,14 @@ class TTMTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, video: jax.Array, audio: jax.Array, train: bool = False,
-                 middle: bool = False, calibrate: bool = False):
+                 middle: bool = False, calibrate: bool = False, stem_in=None):
         n, t, h, w, c = video.shape
         frames = video.reshape(n * t, h, w, c)
         video_out = ResNet2D(num_classes=self.img_feature_dim, quant=self.quant,
                              dtype=self.dtype,
                              name="video_encoder")(frames, train=train,
-                                                   calibrate=calibrate)
+                                                   calibrate=calibrate,
+                                                   stem_in=stem_in)
         video_out = video_out.reshape(n, t, self.img_feature_dim)
         if middle:
             return video_out  # (N, T, 256) tokens for translators
@@ -72,8 +73,9 @@ class TTMBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, video: jax.Array, audio: jax.Array, middle: bool = False,
-                 calibrate: bool = False):
+                 calibrate: bool = False, stem_in=None):
         return TTMTrunk(self.img_feature_dim, quant=self.quant,
                         dtype=self.dtype, name="trunk")(
-            video, audio, train=False, middle=middle, calibrate=calibrate
+            video, audio, train=False, middle=middle, calibrate=calibrate,
+            stem_in=stem_in,
         )

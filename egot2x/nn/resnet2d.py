@@ -230,7 +230,43 @@ class ResNet2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  features_only: bool = False,
-                 calibrate: bool = False) -> jax.Array:
+                 calibrate: bool = False,
+                 stem_in=None) -> jax.Array:
+        # ``stem_in``: (int8 pooled stem map (N, H/4, W/4, width), scalar
+        # scale) computed EXTERNALLY — the fused dual-stem deployment path
+        # (egot2x.nn.fused_stem): two trunks consuming the same frames run
+        # one (7,7,3,2·width) stem conv so the int8 map writes at full
+        # (32, 128) lane density. Inference-only; this trunk's own stem
+        # parameters are simply not referenced.
+        if stem_in is not None:
+            assert self.quant and not train and not calibrate \
+                and not self.is_initializing(), \
+                "stem_in is an int8-inference-only fast path"
+            y, in_scale = stem_in
+        else:
+            y, in_scale = self._stem(x, train, calibrate)
+        n_stages = len(self.stage_sizes)
+        for stage, blocks in enumerate(self.stage_sizes):
+            filters = self.width * (2 ** stage)
+            for b in range(blocks):
+                stride = 2 if stage > 0 and b == 0 else 1
+                # chain int8 between blocks: every block consumes the
+                # previous block's int8 output; only the last block
+                # (feeding the float global-avg-pool head) emits bf16
+                last = stage == n_stages - 1 and b == blocks - 1
+                y, in_scale = BasicBlock2D(filters, stride, quant=self.quant,
+                                           dtype=self.dtype,
+                                           name=f"layer{stage + 1}_{b}")(
+                    y, train=train, calibrate=calibrate, in_scale=in_scale,
+                    quant_out=self.quant and not last)
+        y = jnp.mean(y, axis=(1, 2))  # global average pool → (B, 512)
+        if features_only:
+            return y
+        y = nn.Dense(self.fc2_features, dtype=self.dtype, name="fc")(y)
+        y = nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(y)
+        return y
+
+    def _stem(self, x, train, calibrate):
         # Stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool. The stem stays
         # FLOAT even under quant: with C_in=3 the contraction depth (147)
         # starves the int8 MXU and measured int8 is not faster there —
@@ -269,26 +305,7 @@ class ResNet2D(nn.Module):
                 y = max_pool_int8(y, (3, 3), (2, 2), [(1, 1), (1, 1)])
         else:
             y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        n_stages = len(self.stage_sizes)
-        for stage, blocks in enumerate(self.stage_sizes):
-            filters = self.width * (2 ** stage)
-            for b in range(blocks):
-                stride = 2 if stage > 0 and b == 0 else 1
-                # chain int8 between blocks: every block consumes the
-                # previous block's int8 output; only the last block
-                # (feeding the float global-avg-pool head) emits bf16
-                last = stage == n_stages - 1 and b == blocks - 1
-                y, in_scale = BasicBlock2D(filters, stride, quant=self.quant,
-                                           dtype=self.dtype,
-                                           name=f"layer{stage + 1}_{b}")(
-                    y, train=train, calibrate=calibrate, in_scale=in_scale,
-                    quant_out=self.quant and not last)
-        y = jnp.mean(y, axis=(1, 2))  # global average pool → (B, 512)
-        if features_only:
-            return y
-        y = nn.Dense(self.fc2_features, dtype=self.dtype, name="fc")(y)
-        y = nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(y)
-        return y
+        return y, in_scale
 
 
 def resnet18(num_classes: int = 256, dtype=jnp.float32) -> ResNet2D:

@@ -65,7 +65,36 @@ class _FusionBase(nn.Module):
     # dropping the trunk activation residuals: b64/T30 full-train OOMs
     # HBM by ~0.6 GB without it (docs/PROFILE.md round 4)
     remat: bool = False
+    # fuse the LAM + TTM-video resnet18 stems into ONE (7,7,3,128) conv at
+    # int8 inference — the two trunks consume the same frames, and one
+    # fused stem writes its int8 map at full (32, 128) lane density
+    # instead of two half-dense 64-channel maps (egot2x.nn.fused_stem;
+    # measured −2.8% on the dual trunk, tools/exp_grouped_trunk.py).
+    # Deployment-only: ignored at init/train/calibration, parameters and
+    # checkpoints keep the two-trunk layout.
+    fuse_stems: bool = False
     dtype: Dtype = jnp.float32
+
+    def _fused_rgb_stems(self, video, train, calibrate):
+        """(stem_lam, stem_ttm) ``stem_in`` pairs, or (None, None) when
+        the fused path does not apply (non-quant, training, calibration,
+        init, or missing bound variables)."""
+        if not (self.fuse_stems and self.quant and not train
+                and not calibrate and not self.nofreeze
+                and not self.is_initializing()
+                and self.has_variable("params", "lam_model")
+                and self.has_variable("quant", "lam_model")):
+            return None, None
+        from egot2x.nn.fused_stem import fused_rgb_stem, stem_tree
+
+        lam = [self.get_variable(col, "lam_model")["trunk"]["base_model"]
+               for col in ("params", "batch_stats", "quant")]
+        ttm = [self.get_variable(col, "ttm_model")["trunk"]["video_encoder"]
+               for col in ("params", "batch_stats", "quant")]
+        n, t = video.shape[0], video.shape[1]
+        frames = video.reshape((n * t,) + video.shape[2:])
+        return tuple(fused_rgb_stem(
+            frames, [stem_tree(*lam), stem_tree(*ttm)], dtype=self.dtype))
 
     def _bb(self, cls, static_argnums):
         """Backbone class, nn.remat-wrapped under remat+nofreeze.
@@ -179,14 +208,15 @@ class TaskFusionMFTransformer3Task(_FusionBase):
         asd_out = self._maybe_freeze(
             self._asd_tokens(video_asd, audio_asd, deterministic=True,
                              calibrate=calibrate))
+        stem_lam, stem_ttm = self._fused_rgb_stems(video, train, calibrate)
         lam_out = self._maybe_freeze(
             self._bb(LAMBackbone, (2, 3))(
                 quant=self.quant, dtype=self.dtype, name="lam_model")(
-                video, True, calibrate))
+                video, True, calibrate, stem_in=stem_lam))
         ttm_out = self._maybe_freeze(
             self._bb(TTMBackbone, (3, 4))(
                 quant=self.quant, dtype=self.dtype, name="ttm_model")(
-                video, audio, True, calibrate))
+                video, audio, True, calibrate, stem_in=stem_ttm))
         out = _MFTransformerCore(
             3, self.hidden_dim, self.num_heads, self.num_layers, self.dropout,
             dtype=self.dtype, name="core",
