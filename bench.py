@@ -29,9 +29,28 @@ IMG = 224
 SR = 16000
 
 
+def _enable_compile_cache():
+    # Persistent XLA compilation cache (works on the axon platform:
+    # probe graph 1.5 s -> 0.07 s on rerun). The full bench graph
+    # takes ~10 min to compile through the remote tunnel; with the
+    # cache, driver re-runs and A/B sweeps skip it entirely.
+    import os
+
+    import jax
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_cache", "xla")
+    os.makedirs(root, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", root)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from egot2x.core.registry import build_model
     from egot2x.nn.quant import calibrate_variables

@@ -99,6 +99,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from _exp_util import enable_compile_cache
+
+    enable_compile_cache()
+
     from egot2x.core.registry import build_model
     from egot2x.data.pipeline import BatchLoader
     import egot2x.translate.egot2s_hhi  # noqa: F401

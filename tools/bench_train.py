@@ -37,6 +37,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from _exp_util import enable_compile_cache
+
+    enable_compile_cache()
+
     from egot2x.core.config import Config
     from egot2x.tasks.ttm_2loader import TalkingToMe2Loader
 

@@ -28,15 +28,22 @@ def main():
     from egot2x.nn.quant import assert_calibrated
     import egot2x.translate.egot2s_hhi  # noqa: F401
 
+    from _exp_util import enable_compile_cache
+
+    enable_compile_cache()
+    fuse = os.environ.get("FUSE", "1") == "1"
     model = build_model("TaskFusionMFTransformer3Task", hidden_dim=128,
-                        num_layers=1, quant=True, dtype=jnp.bfloat16)
+                        num_layers=1, quant=True, fuse_stems=fuse,
+                        dtype=jnp.bfloat16)
     cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".bench_cache", "variables_int8")
     variables = jax.device_put(dict(restore_tree(cache)), jax.devices()[0])
     assert_calibrated(variables)
     rng = np.random.default_rng(0)
 
-    for batch in (160, 192, 256):
+    sizes = tuple(int(b) for b in os.environ.get(
+        "BATCHES", "128,160,192,224").split(","))
+    for batch in sizes:
         inputs = (
             jnp.asarray(rng.standard_normal((batch, T, IMG, IMG, 3)),
                         dtype=jnp.float32),
